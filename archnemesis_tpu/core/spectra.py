@@ -1,0 +1,168 @@
+"""Opacity-source component pytrees: k-tables, CIA tables, aerosol optics,
+surface, stellar spectra.
+
+All table data are traced leaves (so parameterisations may perturb them and
+jacfwd flows through); dimensions and gas identities are static metadata.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from archnemesis_tpu.enums import (
+    LowerBoundaryCondition,
+    ParaH2Ratio,
+    SpectralCalculationMode,
+)
+from archnemesis_tpu.utils.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class KTables:
+    """Correlated-k (or LBL, ng=1) tables for all radiatively active gases on
+    a common (wave, g, press, temp) grid.
+
+    Mirrors the reference ``Spectroscopy_0`` table state
+    (``Spectroscopy_0.py:1448`` read_tables): K(NWAVE,NG,NP,NT,NGAS) in
+    cm^2 molecule^-1, PRESS in atm, TEMP in K.
+    """
+
+    wave: Any  # (NWAVE,)
+    g_ord: Any  # (NG,)
+    del_g: Any  # (NG,)
+    press: Any  # (NPRESS,) [atm]
+    temp: Any  # (NTEMP,) [K]
+    k: Any  # (NGAS, NWAVE, NG, NPRESS, NTEMP) [cm^2]
+
+    fwhm: float = static_field(default=0.0)
+    gas_id: Tuple[int, ...] = static_field(default=())
+    iso_id: Tuple[int, ...] = static_field(default=())
+    ilbl: SpectralCalculationMode = static_field(
+        default=SpectralCalculationMode.K_TABLES
+    )
+
+    @property
+    def ngas(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def nwave(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def ng(self) -> int:
+        return self.k.shape[2]
+
+    @classmethod
+    def from_tables(cls, tables, ilbl=SpectralCalculationMode.K_TABLES):
+        """Stack per-gas KTableData (io.ktables) onto a shared grid.
+
+        All tables must share wave/g/press/temp grids (the reference enforces
+        the same in Spectroscopy_0.read_tables).
+        """
+        t0 = tables[0]
+        for t in tables[1:]:
+            if not (
+                np.allclose(t.wave, t0.wave)
+                and np.allclose(t.press, t0.press)
+                and np.allclose(t.temp, t0.temp)
+                and np.allclose(t.g_ord, t0.g_ord)
+            ):
+                raise ValueError("k-tables do not share a common grid")
+        return cls(
+            wave=t0.wave,
+            g_ord=t0.g_ord,
+            del_g=t0.del_g,
+            press=t0.press,
+            temp=t0.temp,
+            k=np.stack([t.k for t in tables], axis=0),
+            fwhm=float(t0.fwhm),
+            gas_id=tuple(int(t.gas_id) for t in tables),
+            iso_id=tuple(int(t.iso_id) for t in tables),
+            ilbl=ilbl,
+        )
+
+
+@pytree_dataclass
+class CIATables:
+    """Collision-induced-absorption cross-section tables.
+
+    Mirrors reference ``CIA_0`` state (CIA_0.py:44): K_CIA in
+    cm^5 molecule^-2 on (pair, para-H2 fraction, temperature, wavenumber).
+    """
+
+    waven: Any  # (NWAVE_CIA,) [cm-1]
+    temp: Any  # (NT,)
+    frac: Any  # (max(NPARA,1),) para-H2 fractions
+    k_cia: Any  # (NPAIR, max(NPARA,1), NT, NWAVE_CIA)
+
+    pair_gas1: Tuple[int, ...] = static_field(default=())
+    pair_gas2: Tuple[int, ...] = static_field(default=())
+    inormalt: Tuple[int, ...] = static_field(default=())
+    npara: int = static_field(default=0)
+    inormal: ParaH2Ratio = static_field(default=ParaH2Ratio.EQUILIBRIUM)
+
+    @property
+    def npair(self) -> int:
+        return self.k_cia.shape[0]
+
+
+@pytree_dataclass
+class AerosolOptics:
+    """Aerosol extinction/scattering cross sections per population
+    (reference ``Scatter_0`` .xsc state): cm^2 particle^-1 on a wave grid."""
+
+    wave: Any  # (NWAVE_XSC,)
+    kext: Any  # (NWAVE_XSC, NDUST)
+    ksca: Any  # (NWAVE_XSC, NDUST)
+
+    @property
+    def ndust(self) -> int:
+        return self.kext.shape[1]
+
+
+@pytree_dataclass
+class SurfaceSpec:
+    """Surface state (reference ``Surface_0``): emissivity spectrum,
+    temperature, ground albedo, lower-boundary condition."""
+
+    tsurf: Any  # scalar [K] (<=0 means gas giant / no surface)
+    vem: Any  # (NEM,) wave grid of emissivity
+    emissivity: Any  # (NEM,)
+    galb: Any  # scalar ground albedo (<0: use 1-emissivity)
+
+    lowbc: LowerBoundaryCondition = static_field(
+        default=LowerBoundaryCondition.THERMAL
+    )
+    gasgiant: bool = static_field(default=True)
+
+
+@pytree_dataclass
+class StellarSpec:
+    """Stellar spectrum (reference ``Stellar_0``): flux at 1 AU-normalised
+    grid plus distance scaling."""
+
+    wave: Any  # (NSOL,)
+    solspec: Any  # (NSOL,) luminosity spectral density (W (cm-1)-1 or W um-1)
+    dist: Any  # scalar [AU]
+    radius: Any  # scalar stellar radius [m]
+
+    solexist: bool = static_field(default=False)
+    ispace: int = static_field(default=0)
+
+
+@pytree_dataclass
+class EmissionTables:
+    """Non-LTE emission-rate tables (reference ``Emissions_0.py:53``):
+    K(NWAVE,NT,NEM) emission rates + per-emission gas identities."""
+
+    wave: Any  # (NWAVE_EM,)
+    temp: Any  # (NT_EM,)
+    k: Any  # (NWAVE_EM, NT_EM, NEM)
+    ref_dist: Any  # reference stellar distance per emission (NEM,)
+
+    gas_id: Tuple[int, ...] = static_field(default=())
+    iso_id: Tuple[int, ...] = static_field(default=())
+    solar_scaling: Tuple[bool, ...] = static_field(default=())

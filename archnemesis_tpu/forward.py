@@ -1,0 +1,306 @@
+"""Forward model: components -> synthetic spectrum (pure, jittable).
+
+This is the TPU-native counterpart of the reference ``ForwardModel_0`` +
+``CIRSrad`` orchestration (ForwardModel_0.py:437 nemesisfm, :4376 CIRSrad):
+instead of mutable classes and deepcopy-per-eval, a static ``ForwardConfig``
+is built once on the host (gas index mappings, enums, quadrature constants),
+and ``forward_spectrum`` is a pure function of the component pytrees —
+jit/vmap/jacfwd compose directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from archnemesis_tpu.core.spectra import (
+    AerosolOptics,
+    CIATables,
+    KTables,
+    StellarSpec,
+    SurfaceSpec,
+)
+from archnemesis_tpu.core.types import Atmosphere, LayerConfig
+from archnemesis_tpu.enums import (
+    PathCalc,
+    RayleighScatteringMode,
+    WaveUnit,
+)
+from archnemesis_tpu.ops.cia import cia_tau
+from archnemesis_tpu.ops.dust import dust_tau
+from archnemesis_tpu.ops.ktab import interp_ktables
+from archnemesis_tpu.ops.overlap import g_bin_edges, mix_gas_k, overlap_nstraddle
+from archnemesis_tpu.rt.emission import thermal_emission_spectrum, transmission_spectrum
+from archnemesis_tpu.rt.layer import build_layers
+from archnemesis_tpu.rt.path import Paths, nadir_path
+from archnemesis_tpu.ops.rayleigh import rayleigh_tau
+from archnemesis_tpu.utils.interp import interp1d_extrap
+
+ATM_TO_PA = 101325.0
+SQ_CM_TO_SQ_M = 1.0e-4
+
+
+@dataclass(frozen=True)
+class ForwardConfig:
+    """Static (compile-time) forward-model configuration.
+
+    Built once on the host by ``make_forward_config``; hashable so it can be
+    closed over by jit.
+    """
+
+    ispace: WaveUnit
+    iray: RayleighScatteringMode
+    spec_gas_idx: Tuple[int, ...]  # spectroscopy gas -> atmosphere column
+    pair_q1: Tuple[int, ...]  # CIA pair -> atmosphere column of gas 1
+    pair_q2: Tuple[int, ...]
+    pair_active: Tuple[int, ...]
+    ray_gas_idx: Tuple[Tuple[str, int], ...]  # for IRAY=4 (h2/he/ch4/nh3)
+    del_g: Tuple[float, ...]  # static copy for overlap setup
+    gasgiant: bool = True
+    nstraddle: int = 2
+
+    @property
+    def del_g_np(self):
+        return np.asarray(self.del_g)
+
+
+def _locate_gas(gas_id, iso_id, atm_ids, atm_isos):
+    for i, (g, s) in enumerate(zip(atm_ids, atm_isos)):
+        if g == gas_id and s == iso_id:
+            return i
+    return None
+
+
+def make_forward_config(
+    atm: Atmosphere,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    iray: RayleighScatteringMode,
+    ispace: WaveUnit = WaveUnit.Wavenumber_cm,
+    gasgiant: bool = True,
+) -> ForwardConfig:
+    """Resolve static gas mappings (reference locate_gas Atmosphere_0.py:1152
+    and the CIA pair resolution ForwardModel_0.py:4700-4716)."""
+    spec_idx = []
+    for g, s in zip(ktab.gas_id, ktab.iso_id):
+        i = _locate_gas(g, s, atm.gas_id, atm.iso_id)
+        if i is None:
+            raise ValueError(f"spectroscopy gas {g} iso {s} not in atmosphere")
+        spec_idx.append(i)
+
+    pair_q1, pair_q2, pair_active = [], [], []
+    if cia is not None:
+        for p in range(len(cia.pair_gas1)):
+            g1, g2 = cia.pair_gas1[p], cia.pair_gas2[p]
+
+            def find(g):
+                cols = [i for i, x in enumerate(atm.gas_id) if x == g]
+                if len(cols) > 1:
+                    cols = [
+                        i
+                        for i in cols
+                        if atm.iso_id[i] == 1
+                    ]
+                return cols[0] if len(cols) == 1 else None
+
+            i1, i2 = find(g1), find(g2)
+            active = i1 is not None and i2 is not None
+            if active and cia.inormalt[p] is not None:
+                # INORMAL-dependent pairs participate only when their flag
+                # matches the run INORMAL (ForwardModel_0.py:4732-4749)
+                inormal_dependent = _pair_is_inormal_dependent(cia, p)
+                if inormal_dependent and cia.inormalt[p] != cia.inormal:
+                    active = False
+            pair_q1.append(i1 if i1 is not None else 0)
+            pair_q2.append(i2 if i2 is not None else 0)
+            pair_active.append(1 if active else 0)
+
+    ray_idx = []
+    names = {39: "h2", 40: "he", 6: "ch4", 11: "nh3"}
+    for i, (g, s) in enumerate(zip(atm.gas_id, atm.iso_id)):
+        if g in names and s in (0, 1) and names[g] not in dict(ray_idx):
+            ray_idx.append((names[g], i))
+
+    return ForwardConfig(
+        ispace=WaveUnit(ispace),
+        iray=RayleighScatteringMode(iray),
+        spec_gas_idx=tuple(spec_idx),
+        pair_q1=tuple(pair_q1),
+        pair_q2=tuple(pair_q2),
+        pair_active=tuple(pair_active),
+        ray_gas_idx=tuple(ray_idx),
+        del_g=tuple(float(x) for x in np.asarray(ktab.del_g)),
+        gasgiant=gasgiant,
+        nstraddle=overlap_nstraddle(np.asarray(ktab.del_g)),
+    )
+
+
+def _pair_is_inormal_dependent(cia: CIATables, p: int) -> bool:
+    """A pair is INORMAL-dependent if the same (gas1,gas2) appears more than
+    once in the table (reference locate_INORMAL_pairs CIA_0.py:380)."""
+    count = sum(
+        1
+        for q in range(len(cia.pair_gas1))
+        if cia.pair_gas1[q] == cia.pair_gas1[p]
+        and cia.pair_gas2[q] == cia.pair_gas2[p]
+    )
+    return count > 1
+
+
+def layer_optical_depths(
+    cfg: ForwardConfig,
+    layers,
+    wave,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+):
+    """Per-layer vertical optical depths (reference calculate_layer_opacity
+    ForwardModel_0.py:3905): gas (correlated-k mixed), CIA, Rayleigh, dust.
+
+    Returns dict with taugas (NWAVE,NG,NLAY), taucia/tauray/taudust/tauscat
+    (NWAVE,NLAY), tautot (NWAVE,NG,NLAY).
+    """
+    press_atm = layers.press / ATM_TO_PA
+
+    # --- gas correlated-k (ForwardModel_0.py:3853-3885)
+    k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
+    amounts = (
+        layers.amount[:, jnp.asarray(cfg.spec_gas_idx)].T * SQ_CM_TO_SQ_M
+    )  # (NGAS, NLAY) cm^-2
+    taugas = mix_gas_k(
+        cfg.del_g_np, k_gas, amounts, nstraddle=cfg.nstraddle
+    )
+
+    q_lay = layers.pp / layers.press[:, None]
+
+    # --- CIA
+    if cia is not None:
+        taucia = cia_tau(
+            cia,
+            wave,
+            layers.temp,
+            layers.frac,
+            q_lay,
+            layers.totam,
+            layers.delh,
+            jnp.asarray(cfg.pair_q1),
+            jnp.asarray(cfg.pair_q2),
+            np.asarray(cfg.pair_active, dtype=np.float64),
+            ispace=cfg.ispace,
+        )
+    else:
+        taucia = jnp.zeros((wave.shape[0], layers.nlay), dtype=layers.temp.dtype)
+
+    # --- Rayleigh
+    tauray = rayleigh_tau(
+        cfg.iray,
+        wave,
+        layers.totam,
+        vmr_lay=q_lay,
+        gas_idx=dict(cfg.ray_gas_idx),
+        ispace=cfg.ispace,
+    )
+
+    # --- dust
+    if aero is not None and aero.ndust > 0:
+        taudust, tauscat, tauclscat = dust_tau(
+            aero.wave, aero.kext, aero.ksca, wave, layers.cont
+        )
+    else:
+        z = jnp.zeros((wave.shape[0], layers.nlay), dtype=layers.temp.dtype)
+        taudust, tauscat, tauclscat = z, z, z[:, :, None] * 0
+
+    tautot = taugas + (taucia + taudust + tauray)[:, None, :]
+    return {
+        "taugas": taugas,
+        "taucia": taucia,
+        "tauray": tauray,
+        "taudust": taudust,
+        "tauscat": tauscat,
+        "tauclscat": tauclscat,
+        "tautot": tautot,
+    }
+
+
+def path_spectrum(
+    cfg: ForwardConfig,
+    wave,
+    tautot,
+    path: Paths,
+    surf: Optional[SurfaceSpec],
+    del_g,
+):
+    """LOS accumulation + IMOD dispatch + g integration (reference CIRSrad
+    ForwardModel_0.py:4376-4508). Returns (NWAVE, NPATH)."""
+    tau_layinc = (
+        tautot[:, :, path.layinc] * path.scale[None, None, :, :]
+    )  # (NWAVE, NG, NLAYIN, NPATH)
+
+    if PathCalc.THERMAL_EMISSION in path.imod:
+        if surf is not None and not cfg.gasgiant:
+            emissivity = interp1d_extrap(surf.vem, surf.emissivity, wave)
+            tsurf = surf.tsurf
+        else:
+            emissivity = jnp.zeros_like(wave)
+            tsurf = jnp.asarray(-1.0, dtype=wave.dtype)
+        spec = thermal_emission_spectrum(
+            wave,
+            tau_layinc,
+            path.emtemp,
+            path.mask,
+            tsurf,
+            emissivity,
+            path.surface_visible,
+            cfg.gasgiant,
+            ispace=cfg.ispace,
+        )
+    elif not (
+        (PathCalc.ABSORBTION | PathCalc.MULTIPLE_SCATTERING
+         | PathCalc.SINGLE_SCATTERING_PLANE_PARALLEL) & path.imod
+    ):
+        tau_total = jnp.sum(tau_layinc * path.mask[None, None, :, :], axis=2)
+        spec = transmission_spectrum(tau_total)
+    else:
+        raise NotImplementedError(f"IMOD {path.imod} not yet implemented")
+
+    return jnp.einsum("wgp,g->wp", spec, del_g)
+
+
+def forward_nadir(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    surf: Optional[SurfaceSpec],
+    cfg: ForwardConfig,
+    emiss_ang,
+    sol_ang=180.0,
+    azi_ang=0.0,
+    return_diagnostics: bool = False,
+):
+    """One nadir-geometry forward evaluation on the k-table wave grid.
+
+    Equivalent to the reference nemesisfm inner loop for a single (IGEOM,
+    IAV) with thermal emission (ForwardModel_0.py:437 + CIRSrad).
+    """
+    layers = build_layers(atm, laycfg, layang=0.0)
+    path = nadir_path(
+        layers,
+        atm.radius,
+        atm.h[-1],
+        emiss_ang,
+        sol_ang=sol_ang,
+        azi_ang=azi_ang,
+        imod=PathCalc.THERMAL_EMISSION,
+    )
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+    spec = path_spectrum(cfg, wave, taus["tautot"], path, surf, ktab.del_g)
+    if return_diagnostics:
+        return spec, {"layers": layers, "path": path, **taus}
+    return spec

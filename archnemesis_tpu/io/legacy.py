@@ -1,0 +1,414 @@
+"""Legacy NEMESIS deck loader (.inp/.set/.fla/.spx/.ref/aerosol.ref/
+parah2.ref/.xsc/.kls/.lls/.cia/.sol/.apr).
+
+Host-side numpy parsing producing framework pytrees; formats re-implemented
+from observation of the reference readers (Files.py:404 read_input_files,
+:1170 read_inp, :1269 read_set, :1383 read_fla; Atmosphere_0.py:1353
+read_ref, :1491 read_aerosol; Measurement_0.py:828 read_spx; Scatter_0.py:559
+read_xsc; CIA_0.py:323 read_cia).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from archnemesis_tpu.core.spectra import (
+    AerosolOptics,
+    CIATables,
+    KTables,
+    StellarSpec,
+    SurfaceSpec,
+)
+from archnemesis_tpu.core.types import Atmosphere, LayerConfig
+from archnemesis_tpu.enums import (
+    AtmosphericProfileFormat,
+    LowerBoundaryCondition,
+    ParaH2Ratio,
+    SpectraUnit,
+    SpectralCalculationMode,
+    WaveUnit,
+)
+from archnemesis_tpu.io.cia import read_cia_h5, read_cia_tab
+from archnemesis_tpu.io.ktables import read_kls, read_lls
+from archnemesis_tpu.rt.atmosphere import calc_grav, calc_molwt, gas_molwt_per_column
+
+REFERENCE_DATA = "/root/reference/archnemesis"
+
+
+@dataclass
+class Geometry:
+    """Measurement geometry (the reference Measurement class's geometry
+    block): ragged (NGEOM, NAV) padded to max."""
+
+    fwhm: float
+    latitude: float
+    longitude: float
+    ngeom: int
+    nconv: np.ndarray  # (NGEOM,)
+    nav: np.ndarray  # (NGEOM,)
+    vconv: np.ndarray  # (NCONVMAX, NGEOM)
+    meas: np.ndarray
+    errmeas: np.ndarray
+    flat: np.ndarray  # (NGEOM, NAVMAX)
+    flon: np.ndarray
+    sol_ang: np.ndarray
+    emiss_ang: np.ndarray
+    azi_ang: np.ndarray
+    wgeom: np.ndarray
+    tanhe: Optional[np.ndarray] = None
+    woff: float = 0.0
+
+
+@dataclass
+class RunSettings:
+    ispace: WaveUnit
+    iscat: int
+    ilbl: SpectralCalculationMode
+    iform: SpectraUnit
+    woff: float
+    niter: int
+    philimit: float
+    inormal: ParaH2Ratio
+    iray: int
+    imie: int
+    nmu: int
+    nf: int
+    nphi: int
+    isol: bool
+    dist: float
+    lowbc: LowerBoundaryCondition
+    galb: float
+    tsurf: float
+    v_doppler: float = 0.0
+
+
+@dataclass
+class Deck:
+    atmosphere: Atmosphere
+    layer_config: LayerConfig
+    geometry: Geometry
+    settings: RunSettings
+    ktables: Optional[KTables] = None
+    cia: Optional[CIATables] = None
+    aerosol: Optional[AerosolOptics] = None
+    surface: Optional[SurfaceSpec] = None
+    stellar: Optional[StellarSpec] = None
+    apr_path: Optional[str] = None
+
+
+def _skip_comments(path):
+    with open(path) as f:
+        lines = f.readlines()
+    return [ln for ln in lines if not ln.startswith("#")]
+
+
+def read_ref(path) -> Atmosphere:
+    """.ref profile file (reference Atmosphere_0.read_ref:1353)."""
+    lines = _skip_comments(path)
+    toks = "".join(lines).split()
+    it = iter(toks)
+
+    amform = AtmosphericProfileFormat(int(next(it)))
+    _ = next(it)  # unused flag line
+    nplanet = int(next(it))
+    xlat = float(next(it))
+    npro = int(next(it))
+    ngas = int(next(it))
+    molwt_const = float(next(it)) if amform == AtmosphericProfileFormat.MOLECULAR_WEIGHT_DEFINED else None
+    gas_id = np.zeros(ngas, dtype=int)
+    iso_id = np.zeros(ngas, dtype=int)
+    for i in range(ngas):
+        gas_id[i] = int(next(it))
+        iso_id[i] = int(next(it))
+    # column-header tokens: the profile table header line has 3+ngas labels.
+    rest = list(it)
+    data = np.array([float(x) for x in rest[-(npro * (3 + ngas)):]]).reshape(
+        npro, 3 + ngas
+    )
+    h = data[:, 0] * 1.0e3  # km -> m
+    p = data[:, 1] * 101325.0  # atm -> Pa
+    t = data[:, 2]
+    vmr = data[:, 3:]
+
+    masses = gas_molwt_per_column(gas_id, iso_id)
+    if molwt_const is not None:
+        molwt = np.full(npro, molwt_const) / 1000.0
+    else:
+        molwt = np.asarray(calc_molwt(vmr, masses))
+
+    grav, radius = calc_grav(h, xlat, nplanet)
+    return Atmosphere(
+        h=h,
+        p=p,
+        t=t,
+        vmr=vmr,
+        dust=np.zeros((npro, 0)),
+        parah2=np.zeros(npro),
+        molwt=molwt,
+        radius=radius,
+        latitude=np.asarray(float(xlat)),
+        gas_id=tuple(int(x) for x in gas_id),
+        iso_id=tuple(int(x) for x in iso_id),
+        planet=nplanet,
+        amform=amform,
+    )
+
+
+def read_aerosol_ref(path, atm: Atmosphere) -> Atmosphere:
+    """aerosol.ref (particles per gram of atmosphere;
+    Atmosphere_0.read_aerosol:1491). Activates dust_units_flag=-1."""
+    lines = _skip_comments(path)
+    toks = "".join(lines).split()
+    npro, naero = int(toks[0]), int(toks[1])
+    data = np.array([float(x) for x in toks[2 : 2 + npro * (naero + 1)]]).reshape(
+        npro, naero + 1
+    )
+    dust = data[:, 1:]
+    return atm.replace(dust=dust).replace(
+        dust_units_flag=tuple([-1] * naero)
+    )
+
+
+def read_parah2_ref(path, atm: Atmosphere) -> Atmosphere:
+    lines = _skip_comments(path)
+    toks = "".join(lines).split()
+    npro = int(toks[0])
+    data = np.array([float(x) for x in toks[1 : 1 + npro * 2]]).reshape(npro, 2)
+    return atm.replace(parah2=data[:, 1])
+
+
+def read_inp(path):
+    with open(path) as f:
+        lines = f.readlines()
+    first = lines[0].split()
+    ispace, iscat, ilbl = int(first[0]), int(first[1]), int(first[2])
+    woff = float(lines[1].split()[0])
+    niter = int(lines[3].split()[0])
+    philimit = float(lines[4].split()[0])
+    iform = int(lines[7].split()[0]) if len(lines) > 7 else 0
+    v_doppler = float(lines[8].split()[0]) if len(lines) > 8 else 0.0
+    return ispace, iscat, ilbl, woff, niter, philimit, iform, v_doppler
+
+
+def read_fla(path):
+    vals = []
+    with open(path) as f:
+        for line in f:
+            s = line.split()
+            if s:
+                vals.append(int(s[0]))
+    # inormal, iray, ih2o, ich4, io3, inh3, iptf, imie, iuv (iuv optional)
+    while len(vals) < 9:
+        vals.append(0)
+    return vals[:9]
+
+
+def read_set(path):
+    with open(path) as f:
+        f.readline()
+        nmu = int(f.readline().split()[5])
+        vals = []
+        while len(vals) < 2 * nmu:
+            vals += f.readline().split()
+        nf = int(f.readline().split()[5])
+        nphi = int(f.readline().split()[8])
+        isol = int(f.readline().split()[5])
+        dist = float(f.readline().split()[5])
+        lowbc = int(f.readline().split()[6])
+        galb = float(f.readline().split()[3])
+        tsurf = float(f.readline().split()[3])
+        f.readline()
+        layht = float(f.readline().split()[8])
+        nlayer = int(f.readline().split()[5])
+        laytp = int(f.readline().split()[3])
+        layint = int(f.readline().split()[3])
+    return dict(
+        nmu=nmu, nf=nf, nphi=nphi, isol=bool(isol), dist=dist,
+        lowbc=lowbc, galb=galb, tsurf=tsurf,
+        layht=layht * 1.0e3, nlayer=nlayer, laytyp=laytp, layint=layint,
+    )
+
+
+def read_spx(path, woff=0.0) -> Geometry:
+    with open(path) as f:
+        toks = f.read().split()
+    it = iter(toks)
+    fwhm = float(next(it))
+    xlat = float(next(it))
+    xlon = float(next(it))
+    ngeom = int(next(it))
+    nconv = np.zeros(ngeom, dtype=int)
+    nav = np.zeros(ngeom, dtype=int)
+    geo = {k: [] for k in ["flat", "flon", "sol", "emi", "azi", "wg"]}
+    spec = []
+    for i in range(ngeom):
+        nconv[i] = int(next(it))
+        nav[i] = int(next(it))
+        g = {k: [] for k in geo}
+        for _ in range(nav[i]):
+            g["flat"].append(float(next(it)))
+            g["flon"].append(float(next(it)))
+            g["sol"].append(float(next(it)))
+            g["emi"].append(float(next(it)))
+            g["azi"].append(float(next(it)))
+            g["wg"].append(float(next(it)))
+        for k in geo:
+            geo[k].append(g[k])
+        rows = np.array(
+            [float(next(it)) for _ in range(3 * nconv[i])]
+        ).reshape(nconv[i], 3)
+        spec.append(rows)
+
+    ncmax, navmax = int(nconv.max()), int(nav.max())
+    vconv = np.zeros((ncmax, ngeom))
+    meas = np.zeros((ncmax, ngeom))
+    errmeas = np.zeros((ncmax, ngeom))
+    pads = {k: np.zeros((ngeom, navmax)) for k in geo}
+    for i in range(ngeom):
+        vconv[: nconv[i], i] = spec[i][:, 0] + woff
+        meas[: nconv[i], i] = spec[i][:, 1]
+        errmeas[: nconv[i], i] = spec[i][:, 2]
+        for k in geo:
+            pads[k][i, : nav[i]] = geo[k][i]
+
+    tanhe = pads["sol"].copy() if pads["emi"].min() < 0.0 else None
+    return Geometry(
+        fwhm=fwhm, latitude=xlat, longitude=xlon, ngeom=ngeom,
+        nconv=nconv, nav=nav, vconv=vconv, meas=meas, errmeas=errmeas,
+        flat=pads["flat"], flon=pads["flon"], sol_ang=pads["sol"],
+        emiss_ang=pads["emi"], azi_ang=pads["azi"], wgeom=pads["wg"],
+        tanhe=tanhe, woff=woff,
+    )
+
+
+def read_xsc(path) -> AerosolOptics:
+    lines = [ln for ln in open(path) if ln.strip()]
+    naero = int(lines[0].split()[0])
+    nwave = (len(lines) - 1) // 2
+    wave = np.zeros(nwave)
+    kext = np.zeros((nwave, naero))
+    sglalb = np.zeros((nwave, naero))
+    for i in range(nwave):
+        s1 = lines[1 + 2 * i].split()
+        wave[i] = float(s1[0])
+        kext[i] = [float(x) for x in s1[1 : naero + 1]]
+        s2 = lines[2 + 2 * i].split()
+        sglalb[i] = [float(x) for x in s2[:naero]]
+    return AerosolOptics(wave=wave, kext=kext, ksca=sglalb * kext)
+
+
+def read_cia_file(path, inormal) -> CIATables:
+    """.cia run file: table name, dnu, npara (CIA_0.read_cia:323); table
+    resolved against the reference Data/cia directory."""
+    with open(path) as f:
+        name = f.readline().split()[0]
+        dnu = float(f.readline().split()[0])
+        npara = int(f.readline().split()[0])
+    table = os.path.join(REFERENCE_DATA, "Data", "cia", name)
+    if name.endswith(".h5"):
+        return read_cia_h5(table, inormal=inormal)
+    return read_cia_tab(table, dnu=dnu, npara=npara, inormal=inormal)
+
+
+def read_sol(path, dist, ispace) -> StellarSpec:
+    """.sol run file names a stellar spectrum in Data/stellar
+    (Stellar_0.read_sol:305)."""
+    with open(path) as f:
+        name = f.readline().strip()
+    spath = os.path.join(REFERENCE_DATA, "Data", "stellar", name)
+    lines = [ln for ln in open(spath) if not ln.startswith("#")]
+    # first non-comment line: ispace flag; second: stellar radius; rest: data
+    ispace_sol = int(float(lines[0].split()[0]))
+    radius = float(lines[1].split()[0])
+    data = np.array([[float(x) for x in ln.split()[:2]] for ln in lines[2:] if ln.split()])
+    return StellarSpec(
+        wave=data[:, 0], solspec=data[:, 1],
+        dist=np.asarray(dist), radius=np.asarray(radius),
+        solexist=True, ispace=ispace_sol,
+    )
+
+
+def load_deck(deck_dir: str, runname: str) -> Deck:
+    """Load a legacy deck into framework pytrees (reference
+    read_input_files Files.py:404)."""
+    cwd = os.getcwd()
+    os.chdir(deck_dir)
+    try:
+        ispace, iscat, ilbl, woff, niter, philimit, iform, v_doppler = read_inp(
+            runname + ".inp"
+        )
+        inormal, iray, *_rest, imie, _iuv = read_fla(runname + ".fla")
+        setd = read_set(runname + ".set")
+
+        atm = read_ref(runname + ".ref")
+        if os.path.exists("aerosol.ref"):
+            atm = read_aerosol_ref("aerosol.ref", atm)
+        if os.path.exists("parah2.ref"):
+            atm = read_parah2_ref("parah2.ref", atm)
+
+        geom = read_spx(runname + ".spx", woff=woff)
+
+        ktab = None
+        if ilbl == SpectralCalculationMode.K_TABLES and os.path.exists(
+            runname + ".kls"
+        ):
+            ktab = KTables.from_tables(read_kls(runname + ".kls"))
+        elif ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES and os.path.exists(
+            runname + ".lls"
+        ):
+            ktab = KTables.from_tables(
+                read_lls(runname + ".lls"),
+                ilbl=SpectralCalculationMode.LINE_BY_LINE_TABLES,
+            )
+
+        cia = None
+        if os.path.exists(runname + ".cia"):
+            cia = read_cia_file(runname + ".cia", ParaH2Ratio(inormal))
+
+        aero = read_xsc(runname + ".xsc") if os.path.exists(runname + ".xsc") else None
+
+        gasgiant = setd["tsurf"] <= 0.0
+        surf = SurfaceSpec(
+            tsurf=np.asarray(0.0 if gasgiant else setd["tsurf"]),
+            vem=np.array([0.0, 1.0e6]),
+            emissivity=np.zeros(2) if gasgiant else np.ones(2),
+            galb=np.asarray(0.0 if gasgiant else setd["galb"]),
+            lowbc=LowerBoundaryCondition(
+                0 if gasgiant else setd["lowbc"]
+            ),
+            gasgiant=gasgiant,
+        )
+
+        stellar = None
+        if setd["isol"] and os.path.exists(runname + ".sol"):
+            stellar = read_sol(runname + ".sol", setd["dist"], ispace)
+
+        laycfg = LayerConfig(
+            nlay=setd["nlayer"],
+            laytyp=setd["laytyp"],
+            layint=setd["layint"],
+            layht=max(setd["layht"], float(atm.h[0])),
+        )
+        settings = RunSettings(
+            ispace=WaveUnit(ispace), iscat=iscat,
+            ilbl=SpectralCalculationMode(ilbl), iform=SpectraUnit(iform),
+            woff=woff, niter=niter, philimit=philimit,
+            inormal=ParaH2Ratio(inormal), iray=iray, imie=imie,
+            nmu=setd["nmu"], nf=setd["nf"], nphi=setd["nphi"],
+            isol=setd["isol"], dist=setd["dist"],
+            lowbc=LowerBoundaryCondition(setd["lowbc"]), galb=setd["galb"],
+            tsurf=setd["tsurf"], v_doppler=v_doppler,
+        )
+        apr = runname + ".apr" if os.path.exists(runname + ".apr") else None
+        return Deck(
+            atmosphere=atm, layer_config=laycfg, geometry=geom,
+            settings=settings, ktables=ktab, cia=cia, aerosol=aero,
+            surface=surf, stellar=stellar,
+            apr_path=os.path.abspath(apr) if apr else None,
+        )
+    finally:
+        os.chdir(cwd)

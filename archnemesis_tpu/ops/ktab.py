@@ -1,0 +1,74 @@
+"""Correlated-k / LBL table interpolation to layer (P, T) points.
+
+TPU-first rewrite of the reference's per-point loop (``Spectroscopy_0.py:2147``
+calc_kg): the nearest-bracket search becomes a vectorized searchsorted +
+gather over all layers at once; the log-bilinear blend is one fused
+elementwise expression over the (wave, g, layer, gas) block.
+
+Reference semantics preserved exactly:
+- interpolation is bilinear in (ln P, T) of ln k where all 4 surrounding
+  table values are > 0;
+- bilinear of raw k where all 4 are <= 0 (all-zero regions);
+- zero where the 4 corners are mixed sign;
+- out-of-range P/T clamp to the table edges (v,u in [0,1]).
+"""
+
+import jax.numpy as jnp
+
+
+def _bracket(grid, x):
+    """Indices (lo, hi) and clamped fraction for linear interpolation with
+    edge clamping, matching the reference's argmin-based bracketing."""
+    grid = jnp.asarray(grid)
+    hi = jnp.clip(jnp.searchsorted(grid, x, side="left"), 1, grid.shape[0] - 1)
+    lo = hi - 1
+    f = (x - grid[lo]) / (grid[hi] - grid[lo])
+    return lo, hi, jnp.clip(f, 0.0, 1.0)
+
+
+def interp_ktables(k, press_grid, temp_grid, press, temp):
+    """Interpolate k-tables to layer pressure/temperature points.
+
+    Parameters
+    ----------
+    k : (NGAS, NWAVE, NG, NP, NT) table k-coefficients [cm^2]
+    press_grid : (NP,) table pressures [atm]
+    temp_grid : (NT,) table temperatures [K]
+    press : (NLAY,) layer pressures [atm]
+    temp : (NLAY,) layer temperatures [K]
+
+    Returns
+    -------
+    kgood : (NWAVE, NG, NLAY, NGAS)
+    """
+    k = jnp.asarray(k)
+    lgrid = jnp.log(jnp.asarray(press_grid))
+    ipl, iphi, v = _bracket(lgrid, jnp.log(press))  # (NLAY,)
+    itl, ithi, u = _bracket(temp_grid, temp)  # (NLAY,)
+
+    # corner gathers -> (NGAS, NWAVE, NG, NLAY)
+    klo1 = k[:, :, :, ipl, itl]
+    klo2 = k[:, :, :, ipl, ithi]
+    khi1 = k[:, :, :, iphi, itl]
+    khi2 = k[:, :, :, iphi, ithi]
+
+    w11 = (1.0 - v) * (1.0 - u)
+    w21 = v * (1.0 - u)
+    w22 = v * u
+    w12 = (1.0 - v) * u
+
+    tiny = jnp.finfo(k.dtype).tiny
+    loglin = (
+        w11 * jnp.log(jnp.maximum(klo1, tiny))
+        + w21 * jnp.log(jnp.maximum(khi1, tiny))
+        + w22 * jnp.log(jnp.maximum(khi2, tiny))
+        + w12 * jnp.log(jnp.maximum(klo2, tiny))
+    )
+    lin = w11 * klo1 + w21 * khi1 + w22 * khi2 + w12 * klo2
+
+    all_pos = (klo1 > 0.0) & (klo2 > 0.0) & (khi1 > 0.0) & (khi2 > 0.0)
+    all_nonpos = (klo1 <= 0.0) & (klo2 <= 0.0) & (khi1 <= 0.0) & (khi2 <= 0.0)
+
+    out = jnp.where(all_pos, jnp.exp(loglin), jnp.where(all_nonpos, lin, 0.0))
+    # (NGAS, NWAVE, NG, NLAY) -> (NWAVE, NG, NLAY, NGAS)
+    return jnp.moveaxis(out, 0, -1)

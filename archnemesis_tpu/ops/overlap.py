@@ -1,0 +1,124 @@
+"""Random-overlap mixing of correlated-k distributions.
+
+TPU-first rewrite of the reference's sequential resort-rebin
+(``ForwardModel_0.py:5843`` k_overlapg / ``:5960`` rankg / ``:6030``
+k_overlap): the per-(wave,layer) Python double loop becomes a batched
+XLA sort + interval-overlap rebin.
+
+Algorithm (identical numerics to rankg):
+for each gas pair, form the NG x NG random-overlap products
+``tau_ij = tau_a[i] + tau_b[j]`` with weights ``w_ij = del_g[i]*del_g[j]``,
+sort by tau, lay the sorted elements end-to-end on [0,1] (cumulative weight),
+and average tau over each output g-bin, splitting elements that straddle a
+bin edge proportionally. The straddle is bounded: an element's width is at
+most max(del_g)^2, so it can cross at most ``nstraddle`` bins — computed
+statically from del_g at setup, making the rebin a fixed-size scatter-add
+instead of a data-dependent loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def overlap_nstraddle(del_g: np.ndarray) -> int:
+    """Max number of output bins a sorted element can intersect (static)."""
+    del_g = np.asarray(del_g)
+    max_elem = float(del_g.max()) ** 2
+    min_bin = float(del_g.min())
+    return int(np.floor(max_elem / min_bin)) + 2
+
+
+def g_bin_edges(del_g: np.ndarray) -> np.ndarray:
+    """Output g-bin edges: cumsum of del_g with the top edge forced to 1
+    (mirrors rankg's g_ord construction)."""
+    del_g = np.asarray(del_g)
+    edges = np.zeros(del_g.shape[0] + 1)
+    edges[1:] = np.cumsum(del_g)
+    edges[-1] = 1.0
+    return edges
+
+
+def _combine_pair(w2, g_edges, tau_a, tau_b, nstraddle):
+    """Random-overlap combine of two k-distributions.
+
+    tau_a, tau_b: (..., NG) optical-depth distributions.
+    w2: (NG*NG,) static pair weights del_g[i]*del_g[j].
+    Returns (..., NG).
+    """
+    ng = tau_a.shape[-1]
+    batch = tau_a.shape[:-1]
+
+    tau = (tau_a[..., :, None] + tau_b[..., None, :]).reshape(*batch, ng * ng)
+    order = jnp.argsort(tau, axis=-1)
+    tau_s = jnp.take_along_axis(tau, order, axis=-1)
+    w_s = w2[order]
+    ghi = jnp.cumsum(w_s, axis=-1)
+    glo = ghi - w_s
+
+    b0 = jnp.clip(jnp.searchsorted(g_edges, glo, side="right") - 1, 0, ng - 1)
+
+    flat_b = int(np.prod(batch)) if batch else 1
+    batch_off = (ng * jnp.arange(flat_b)).reshape(
+        tuple(batch) + (1,) if batch else (1,)
+    ) if batch else 0
+    num = jnp.zeros((flat_b * ng,), dtype=tau.dtype)
+    den = jnp.zeros((flat_b * ng,), dtype=tau.dtype)
+    for s in range(nstraddle):
+        valid = b0 + s <= ng - 1
+        b = jnp.minimum(b0 + s, ng - 1)
+        inter = jnp.clip(
+            jnp.minimum(ghi, g_edges[b + 1]) - jnp.maximum(glo, g_edges[b]),
+            0.0,
+            None,
+        )
+        inter = jnp.where(valid, inter, 0.0)
+        seg = (b + batch_off).reshape(-1)
+        num = num.at[seg].add((inter * tau_s).reshape(-1))
+        den = den.at[seg].add(inter.reshape(-1))
+    out = num / jnp.maximum(den, jnp.finfo(tau.dtype).tiny)
+    return out.reshape(*batch, ng)
+
+
+def mix_gas_k(del_g, k_gas, amounts, nstraddle=None, g_edges=None):
+    """Sequentially mix per-gas k-distributions into layer optical depths.
+
+    Parameters
+    ----------
+    del_g : (NG,) g-bin widths (static numpy or traced; edges/straddle are
+        derived from a numpy copy at trace time if not provided)
+    k_gas : (NWAVE, NG, NLAY, NGAS) per-gas k at layer (P,T) [cm^2]
+    amounts : (NGAS, NLAY) per-gas column densities [cm^-2]
+
+    Returns
+    -------
+    tau : (NWAVE, NG, NLAY) mixed gas optical depth.
+
+    Skip semantics match the reference (k_overlapg cutoff=0): a gas whose
+    largest-g optical depth is <= 0 in a layer contributes nothing there,
+    and mixing with an empty accumulated distribution is a copy.
+    """
+    ngas = k_gas.shape[-1]
+    if isinstance(del_g, jax.core.Tracer):
+        raise TypeError(
+            "mix_gas_k needs static (numpy) del_g to derive bin edges and the"
+            " straddle bound; pass the host-side copy kept in the run config"
+        )
+    del_g_np = np.asarray(del_g)
+    if g_edges is None:
+        g_edges = jnp.asarray(g_bin_edges(del_g_np))
+    if nstraddle is None:
+        nstraddle = overlap_nstraddle(del_g_np)
+    w2 = (jnp.asarray(del_g_np)[:, None] * jnp.asarray(del_g_np)[None, :]).reshape(-1)
+
+    # (NWAVE, NG, NLAY, NGAS) -> (NWAVE, NLAY, NG, NGAS): g fast axis
+    k_wlg = jnp.transpose(k_gas, (0, 2, 1, 3))
+
+    tau = k_wlg[..., 0] * amounts[0][None, :, None]
+    for i in range(1, ngas):
+        tau_b = k_wlg[..., i] * amounts[i][None, :, None]
+        mixed = _combine_pair(w2, g_edges, tau, tau_b, nstraddle)
+        skip_b = (tau_b[..., -1] <= 0.0)[..., None]
+        skip_a = (tau[..., -1] <= 0.0)[..., None]
+        tau = jnp.where(skip_b, tau, jnp.where(skip_a, tau_b, mixed))
+    return jnp.transpose(tau, (0, 2, 1))

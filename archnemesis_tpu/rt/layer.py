@@ -34,9 +34,10 @@ def split_layers(atm: Atmosphere, cfg: LayerConfig, layang=0.0):
     """
     h, p = atm.h, atm.p
     nlay = cfg.nlay
-    layht = cfg.layht
-    # NOTE reference resets LAYHT to H[0] when below the profile; here the
-    # deck loader guarantees layht >= h[0], keeping this jit-safe.
+    # reference resets LAYHT to H(0) when below the profile base
+    # (layer_split Layer_0.py:1450) — traced clamp keeps it jit-safe while
+    # H changes across retrieval iterations
+    layht = jnp.maximum(jnp.asarray(cfg.layht, dtype=h.dtype), h[0])
 
     if cfg.laytyp == LayerType.EQUAL_PRESSURE:
         pbot = interp1d_extrap(h, p, layht)
