@@ -91,10 +91,15 @@ def cia_tau(
 
     sum_pairs = jnp.einsum("plw,lp->wl", k_w, qq)
 
+    # XFAC = (TOTAM cm-2)^2 / (DELH cm): TOTAM^2 ~ 1e50 overflows f32 and
+    # k_cia ~ 1e-45 underflows it. Balance with an exact power-of-2 scale
+    # (2^134, sqrt = 2^67): bit-identical in f64, in-range in f32.
+    scale = 2.0**134
+    half_scale = 2.0**67
     totam_cm2 = totam * 1.0e-4
     xlen_cm = delh * 1.0e2
-    xfac = totam_cm2**2 / xlen_cm
-    tau = sum_pairs * xfac[None, :]
+    xfac_scaled = (totam_cm2 / half_scale) ** 2 / xlen_cm
+    tau = (sum_pairs * scale) * xfac_scaled[None, :]
 
     if ispace != WaveUnit.Wavenumber_cm:
         # undo the wavenumber sort back to the wavelength ordering

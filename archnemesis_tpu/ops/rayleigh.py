@@ -37,7 +37,9 @@ def rayleigh_j(wave, totam, ispace=0):
     n0 = p0 / (k_b * t0)
     xl = n0 * lam * lam
     faniso = (6.0 + 3.0 * delta) / (6.0 - 7.0 * delta)
-    k_ray = temp * faniso / (3.0 * xl**2)  # m^2
+    # sqrt-ratio form: xl^2 ~ 1e31-1e39 can overflow f32 at long wavelengths;
+    # (sqrt(.)/xl)^2 keeps intermediates in range (equal in exact arithmetic)
+    k_ray = (jnp.sqrt(temp * faniso / 3.0) / xl) ** 2  # m^2
     return k_ray[:, None] * totam[None, :]
 
 

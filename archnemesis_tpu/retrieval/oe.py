@@ -1,0 +1,183 @@
+"""Optimal-estimation retrieval (Rodgers formalism + Levenberg-Marquardt
+brake).
+
+Mirrors the reference ``OptimalEstimation_0`` math (OptimalEstimation_0.py:
+calc_gain_matrix:545, calc_phiret:573, calc_next_xn:655, calc_serr:679,
+coreretOE loop :1173-1586) with one structural change: the Jacobian K comes
+from ``jax.jacfwd`` of the pure forward function instead of the reference's
+finite-difference fan-out / hand-written analytic-gradient twin code path.
+
+The LM accept/reject loop runs on the host (it is inherently sequential and
+data-dependent); each iteration's forward+Jacobian evaluation is one jitted
+call.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def calc_gain_matrix(kk, sa, se):
+    """dd = SA K^T (K SA K^T + SE)^-1 via linear solves; aa = dd K
+    (reference calc_gain_matrix:545)."""
+    sa_kt = sa @ kk.T  # (NX, NY)
+    m = kk @ sa_kt + se
+    dd = jnp.linalg.solve(m.T, sa_kt.T).T  # (NX, NY)
+    aa = dd @ kk
+    return dd, aa
+
+
+def calc_phi(y, yn, xn, xa, se, sa):
+    """phi = (yn-y)^T SE^-1 (yn-y) + (xn-xa)^T SA^-1 (xn-xa); chisq is the
+    measurement part / NY (reference calc_phiret:573)."""
+    b = yn - y
+    d = xn - xa
+    meas_cost = b @ jnp.linalg.solve(se, b)
+    apr_cost = d @ jnp.linalg.solve(sa, d)
+    return meas_cost + apr_cost, meas_cost / y.shape[0]
+
+
+def calc_next_xn(xa, xn, y, yn, dd, aa):
+    """x_{n+1} = xa + dd (y - yn) - aa (xa - xn) (reference calc_next_xn:655)."""
+    return xa + dd @ (y - yn) - aa @ (xa - xn)
+
+
+def calc_serr(dd, aa, se, sa):
+    """Measurement (SM), smoothing (SN), and total (ST) error covariances
+    (reference calc_serr:679)."""
+    sm = dd @ se @ dd.T
+    b = aa - jnp.eye(aa.shape[0], dtype=aa.dtype)
+    sn = b @ sa @ b.T
+    return sm, sn, sm + sn
+
+
+@dataclass
+class OEResult:
+    xn: np.ndarray
+    yn: np.ndarray
+    kk: np.ndarray
+    phi: float
+    chisq: float
+    sm: np.ndarray
+    sn: np.ndarray
+    st: np.ndarray
+    dd: np.ndarray
+    aa: np.ndarray
+    n_iter: int
+    phi_history: List[float]
+    converged: bool
+
+
+def coreret_oe(
+    forward_fn: Callable,
+    xa: np.ndarray,
+    sa: np.ndarray,
+    y: np.ndarray,
+    se: np.ndarray,
+    lx: np.ndarray,
+    niter: int = 10,
+    philimit: float = 0.1,
+    state_check: Optional[Callable] = None,
+    verbose: bool = False,
+) -> OEResult:
+    """Run the OE iteration loop (reference coreretOE:1173).
+
+    forward_fn(xn) -> yn must be pure and jacfwd-able; it is wrapped in jit
+    here together with its Jacobian.
+
+    state_check(xn) -> bool (host callable, optional): physical-validity
+    check used by the Marquardt brake (reference re-runs subprofretg to
+    detect negative temperatures, :1439-1444). Returning False increases
+    the brake.
+    """
+    xa = jnp.asarray(xa)
+    sa = jnp.asarray(sa)
+    y = jnp.asarray(y)
+    se = jnp.asarray(se)
+    lx = np.asarray(lx)
+
+    fwd_and_jac = jax.jit(
+        lambda x: (forward_fn(x), jax.jacfwd(forward_fn)(x))
+    )
+
+    xn = xa
+    yn, kk = fwd_and_jac(xn)
+    phi, chisq = calc_phi(y, yn, xn, xa, se, sa)
+    ophi = float(phi)
+    phi_history = [ophi]
+    if verbose:
+        print(f"iter 0: phi={ophi:.6e} chisq={float(chisq):.6e}")
+
+    alambda = 1.0
+    converged = False
+    n_done = 0
+    for it in range(niter):
+        dd, aa = calc_gain_matrix(kk, sa, se)
+        x_out = calc_next_xn(xa, xn, y, yn, dd, aa)
+
+        # Marquardt brake with validity re-checks
+        while True:
+            if alambda > 1e30:
+                raise RuntimeError("Death spiral in Marquardt braking")
+            xn1 = xn + (x_out - xn) / (1.0 + alambda)
+            bad_log = bool(
+                np.any(
+                    ((np.asarray(xn1) > 85) | (np.asarray(xn1) < -85))
+                    & (lx == 1)
+                )
+            )
+            if bad_log or (state_check is not None and not state_check(np.asarray(xn1))):
+                alambda *= 10.0
+                continue
+            break
+
+        yn1, kk1 = fwd_and_jac(xn1)
+        phi1, chisq1 = calc_phi(y, yn1, xn1, xa, se, sa)
+
+        if float(phi1) <= ophi:
+            xn, yn, kk = xn1, yn1, kk1
+            phi, chisq = phi1, chisq1
+            n_done += 1
+            tphi = 100.0 * (ophi - float(phi)) / ophi
+            phi_history.append(float(phi))
+            if verbose:
+                print(
+                    f"iter {it+1}: accepted phi={float(phi):.6e} "
+                    f"chisq={float(chisq):.6e} lambda={alambda:.2e} tphi={tphi:.3f}%"
+                )
+            if 0.0 <= tphi <= philimit and alambda < 1.0:
+                converged = True
+                break
+            ophi = float(phi)
+            alambda *= 0.3
+        else:
+            if verbose:
+                print(
+                    f"iter {it+1}: rejected phi={float(phi1):.6e} "
+                    f"(> {ophi:.6e}); lambda -> {alambda*10:.2e}"
+                )
+            alambda *= 10.0
+
+    dd, aa = calc_gain_matrix(kk, sa, se)
+    sm, sn, st = calc_serr(dd, aa, se, sa)
+    phi, chisq = calc_phi(y, yn, xn, xa, se, sa)
+    return OEResult(
+        xn=np.asarray(xn),
+        yn=np.asarray(yn),
+        kk=np.asarray(kk),
+        phi=float(phi),
+        chisq=float(chisq),
+        sm=np.asarray(sm),
+        sn=np.asarray(sn),
+        st=np.asarray(st),
+        dd=np.asarray(dd),
+        aa=np.asarray(aa),
+        n_iter=n_done,
+        phi_history=phi_history,
+        converged=converged,
+    )

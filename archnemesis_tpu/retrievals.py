@@ -1,0 +1,144 @@
+"""Top-level retrieval driver (the reference's ``Retrievals.py``
+retrieval_nemesis equivalent for the implemented geometry family).
+
+Builds a pure forward function spectrum(xn) from a loaded deck — state-vector
+application, layering, opacities, RT, ILS convolution, FOV averaging — and
+runs optimal estimation with jacfwd Jacobians.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from archnemesis_tpu.core.spectra import KTables
+from archnemesis_tpu.enums import ScatteringCalculationMode, SpectraUnit
+from archnemesis_tpu.forward import forward_nadir, make_forward_config
+from archnemesis_tpu.io.ktables import read_kls, read_lls
+from archnemesis_tpu.io.legacy import Deck, load_deck
+from archnemesis_tpu.ops.convolution import conv_channel_interp, ils_weights_lbl, apply_ils
+from archnemesis_tpu.retrieval.oe import OEResult, coreret_oe
+from archnemesis_tpu.retrieval.statevector import StateVector, apply_state, read_apr
+
+
+@dataclass
+class RetrievalSetup:
+    deck: Deck
+    sv: StateVector
+    forward_fn: Callable  # xn -> concatenated convolved spectrum y(xn)
+    y: np.ndarray  # measurement vector
+    se: np.ndarray  # measurement covariance (diagonal)
+    vconv_list: list
+
+
+def _windowed_ktab(deck: Deck, wavemin, wavemax) -> KTables:
+    """Re-window the deck's tables for a geometry's wave range (the reference
+    re-reads tables per geometry, ForwardModel_0.py:479-483; here we slice
+    the already-loaded arrays)."""
+    kt = deck.ktables
+    wave = np.asarray(kt.wave)
+    sel = np.where((wave >= wavemin) & (wave <= wavemax))[0]
+    return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
+
+
+def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
+    deck = load_deck(deck_dir, runname)
+    if deck.settings.iscat != ScatteringCalculationMode.THERMAL_EMISSION:
+        raise NotImplementedError("only thermal-emission retrievals wired so far")
+    if deck.settings.iform != SpectraUnit.Radiance:
+        raise NotImplementedError("only IFORM=Radiance wired so far")
+
+    sv = read_apr(deck.apr_path, deck.atmosphere)
+    geom = deck.geometry
+
+    # measurement vector (reference calc_MeasurementVector Measurement_0.py:1423)
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    # per-geometry static setup
+    geoms = []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        vconv = geom.vconv[:nc, ig]
+        if geom.fwhm == 0.0:
+            wavemin, wavemax = vconv[0], vconv[-1]
+        elif geom.fwhm > 0.0:
+            dv = 0.5 * geom.fwhm  # ISHAPE-dependent; Square default
+            wavemin, wavemax = vconv[0] - dv, vconv[-1] + dv
+        else:
+            raise NotImplementedError(".fil channel integration not wired yet")
+        ktw = _windowed_ktab(deck, wavemin, wavemax)
+        geoms.append((ig, vconv, ktw))
+
+    cfg = make_forward_config(
+        deck.atmosphere,
+        deck.ktables,
+        deck.cia,
+        iray=deck.settings.iray,
+        ispace=deck.settings.ispace,
+        gasgiant=deck.surface.gasgiant,
+    )
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv)
+        out = []
+        for ig, vconv, ktw in geoms:
+            nav = geom.nav[ig]
+            spec_sum = 0.0
+            wsum = 0.0
+            for iav in range(nav):
+                spec = forward_nadir(
+                    atm,
+                    deck.layer_config,
+                    ktw,
+                    deck.cia,
+                    deck.aerosol,
+                    deck.surface,
+                    cfg,
+                    emiss_ang=geom.emiss_ang[ig, iav],
+                    sol_ang=geom.sol_ang[ig, iav],
+                    azi_ang=geom.azi_ang[ig, iav],
+                )[:, 0]
+                spec_sum = spec_sum + geom.wgeom[ig, iav] * spec
+                wsum = wsum + geom.wgeom[ig, iav]
+            spec_avg = spec_sum / wsum
+            out.append(conv_channel_interp(ktw.wave, spec_avg, jnp.asarray(vconv)))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[g[1] for g in geoms],
+    )
+
+
+def run_retrieval(
+    deck_dir: str,
+    runname: str,
+    niter: Optional[int] = None,
+    philimit: Optional[float] = None,
+    verbose: bool = False,
+) -> tuple[RetrievalSetup, OEResult]:
+    """Full OE retrieval on a legacy deck (reference retrieval_nemesis,
+    Retrievals.py:31)."""
+    setup = make_retrieval_setup(deck_dir, runname)
+    st = setup.deck.settings
+    res = coreret_oe(
+        setup.forward_fn,
+        setup.sv.xa,
+        setup.sv.sa,
+        setup.y,
+        setup.se,
+        setup.sv.lx,
+        niter=niter if niter is not None else max(st.niter, 0),
+        philimit=philimit if philimit is not None else st.philimit,
+        verbose=verbose,
+    )
+    return setup, res

@@ -115,29 +115,44 @@ def average_layers(atm: Atmosphere, cfg: LayerConfig, baseh, basep, layang=0.0):
         t_s = interp1d_extrap(h, t, hgt)
         fr_s = interp1d_extrap(h, parah2, hgt)
         mw_s = interp1d_extrap(h, xmolwt, hgt)
-        duds = p_s / (K_B * t_s)  # molecules m^-3
+        # (p/t) * (1/K_B): dividing by the tiny product K_B*t first would
+        # make the quotient-rule denominator (K_B*t)^2 ~ 1e-42 underflow f32
+        # under jacfwd; this ordering keeps every intermediate in range
+        duds = (p_s / t_s) * (1.0 / K_B)  # molecules m^-3
 
-        w = jnp.asarray(simpson_weights(nint))  # unit-spacing weights
+        w = jnp.asarray(simpson_weights(nint)).astype(duds.dtype)
         ds = (s_upper - bases) / (nint - 1)  # per-layer sample spacing
 
-        def integ(y):
-            # integral over the slant path of each layer: (NLAY, NINT) -> (NLAY,)
+        # Weighted means divide by TOTAM ~ 1e29: the tangent's quotient rule
+        # squares that (1e58, overflowing f32 under jacfwd). Work with a
+        # 2^-97-scaled number density (exact power-of-2: f64 results are
+        # bit-identical) so the divisor is O(1).
+        DUDS_SCALE = 2.0**97
+        duds_s = duds * (2.0**-97)
+
+        def integ_s(y):
+            # scaled path integral per layer: (NLAY, NINT) -> (NLAY,)
             return jnp.sum(y * w[None, :], axis=1) * ds
 
-        totam = integ(duds)
-        height = integ(hgt * duds) / totam
-        press = integ(p_s * duds) / totam
-        temp = integ(t_s * duds) / totam
-        frac = integ(fr_s * duds) / totam
+        totam_s = integ_s(duds_s)
+        totam = totam_s * DUDS_SCALE
+        height = integ_s(hgt * duds_s) / totam_s
+        press = integ_s(p_s * duds_s) / totam_s
+        temp = integ_s(t_s * duds_s) / totam_s
+        frac = integ_s(fr_s * duds_s) / totam_s
 
         vmr_s = interp1d_extrap(h, vmr, hgt.reshape(-1)).reshape(
             nlay, nint, -1
         )
-        amount = jnp.einsum("lik,i->lk", vmr_s * duds[:, :, None], w) * ds[:, None]
-        pp = (
-            jnp.einsum("lik,i->lk", vmr_s * (p_s * duds)[:, :, None], w)
+        amount = (
+            jnp.einsum("lik,i->lk", vmr_s * duds_s[:, :, None], w)
             * ds[:, None]
-            / totam[:, None]
+            * DUDS_SCALE
+        )
+        pp = (
+            jnp.einsum("lik,i->lk", vmr_s * (p_s * duds_s)[:, :, None], w)
+            * ds[:, None]
+            / totam_s[:, None]
         )
 
         if atm.ndust > 0:
@@ -174,7 +189,7 @@ def average_layers(atm: Atmosphere, cfg: LayerConfig, baseh, basep, layang=0.0):
         temp = interp1d_extrap(h, t, height)
         frac = interp1d_extrap(h, parah2, height)
         mw_l = interp1d_extrap(h, xmolwt, height)
-        duds = press / (K_B * temp)
+        duds = (press / temp) * (1.0 / K_B)  # f32-safe (see above)
         totam = duds * dels
         vmr_l = interp1d_extrap(h, vmr, height)
         pp = vmr_l * press[:, None]
