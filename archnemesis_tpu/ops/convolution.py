@@ -29,10 +29,10 @@ def conv_channel_interp(wave, spec, vconv):
 
 def ils_weights_lbl(wave: np.ndarray, vconv: np.ndarray, fwhm: float,
                     ishape: InstrumentLineshape) -> np.ndarray:
-    """(NCONV, NWAVE) quadrature weights reproducing the reference numba
-    lblconv kernel (Measurement_0.py:3335): for each channel, integrate
-    spec(w) * ils(w - vc) over the ILS support on the calc grid via
-    trapezoid, normalized by the ILS integral on the same grid.
+    """(NCONV, NWAVE) weights reproducing the reference numba lblconv kernel
+    (Measurement_0.py:3335) exactly: discrete ILS samples at the calc-grid
+    points inside the window, normalised by their sum (no quadrature
+    weighting).
     """
     nconv = vconv.shape[0]
     nwave = wave.shape[0]
@@ -40,32 +40,21 @@ def ils_weights_lbl(wave: np.ndarray, vconv: np.ndarray, fwhm: float,
     for ic in range(nconv):
         vc = vconv[ic]
         if ishape == InstrumentLineshape.Square:
-            vmin, vmax = vc - 0.5 * fwhm, vc + 0.5 * fwhm
+            v1, v2 = vc - 0.5 * fwhm, vc - 0.5 * fwhm + fwhm
             fn = lambda w: np.ones_like(w)
         elif ishape == InstrumentLineshape.Triangular:
-            vmin, vmax = vc - fwhm, vc + fwhm
-            fn = lambda w: np.clip(1.0 - np.abs(w - vc) / fwhm, 0.0, None)
+            v1, v2 = vc - fwhm, vc + fwhm
+            fn = lambda w: 1.0 - np.abs(w - vc) / fwhm
         elif ishape == InstrumentLineshape.Gaussian:
             sig = 0.5 * fwhm / np.sqrt(np.log(2.0))
-            vmin, vmax = vc - 3.0 * sig, vc + 3.0 * sig
+            v1, v2 = vc - 3.0 * sig, vc + 3.0 * sig
             fn = lambda w: np.exp(-(((w - vc) / sig) ** 2))
         else:
             raise NotImplementedError(f"ISHAPE {ishape} not implemented")
-        sel = np.where((wave >= vmin) & (wave <= vmax))[0]
-        if sel.size < 2:
-            # degenerate: nearest-sample passthrough
-            j = np.argmin(np.abs(wave - vc))
-            out[ic, j] = 1.0
-            continue
-        w_sel = wave[sel]
-        a = fn(w_sel)
-        # trapezoid weights on the (possibly non-uniform) selected grid
-        tw = np.zeros(sel.size)
-        dw = np.diff(w_sel)
-        tw[:-1] += 0.5 * dw
-        tw[1:] += 0.5 * dw
-        norm = np.sum(a * tw)
-        out[ic, sel] = a * tw / norm
+        sel = np.where((wave >= v1) & (wave <= v2))[0]
+        a = fn(wave[sel])
+        a = np.where(a > 0.0, a, 0.0)  # reference only accumulates f1 > 0
+        out[ic, sel] = a / a.sum()
     return out
 
 

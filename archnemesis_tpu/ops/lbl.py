@@ -1,0 +1,190 @@
+"""Runtime line-by-line opacity synthesis (the flagship hot kernel).
+
+TPU-first rewrite of the reference's LBL accumulation
+(``LineData_0.py:229`` add_line_set_monochromatic_spectrum — the lines x
+wavegrid double loop): the wavenumber grid is tiled into static blocks; for
+each block, the (static, host-precomputed) set of lines within the 75 cm^-1
+approximation window is gathered and their contributions evaluated as one
+dense (lines_per_block, block_width) Voigt panel with window masks — no
+data-dependent control flow, vmappable over layers and shardable over the
+wave axis.
+
+Physics identical to the reference kernels (LineData_0.py:124-226):
+- line strength: S(T) = sw * (stim(T)/stim(Tref)) * exp(c2 E" (T-Tref)/(T Tref)) * Q(Tref)/Q(T)
+- Doppler HWHM alpha_d ~ nu sqrt(T/m); Lorentz HWHM from self+ambient
+  broadening with T exponents; pressure shift from ambient delta;
+- |dv| < 25 cm^-1: full lineshape; 25..75 cm^-1: f(25) * 25^2/dv^2 wing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from archnemesis_tpu.constants import C2_CGS, C_LIGHT_CGS, K_B_CGS, N_AVOGADRO
+from archnemesis_tpu.io.linedata import LineList
+from archnemesis_tpu.ops import voigt as voigt_mod
+
+DOPPLER_CONST = (1.0 / C_LIGHT_CGS) * np.sqrt(
+    2.0 * np.log(2.0) * N_AVOGADRO * K_B_CGS
+)
+
+
+@dataclass(frozen=True)
+class LblBlocks:
+    """Static blocking of a wavenumber grid against a line list."""
+
+    block_width: int
+    n_blocks: int
+    max_lines_per_block: int
+    line_idx: np.ndarray  # (n_blocks, max_lines_per_block) gather indices
+    line_mask: np.ndarray  # (n_blocks, max_lines_per_block) 1=valid
+    wn_pad: np.ndarray  # (n_blocks * block_width,) padded grid
+    n_wave: int  # true grid length
+
+
+def build_blocks(
+    wn_grid: np.ndarray,
+    nu: np.ndarray,
+    wn_approx_window: float = 75.0,
+    block_width: int = 128,
+    shift_margin: float = 2.0,
+) -> LblBlocks:
+    """Host-side: for each wave block, the index range of lines whose
+    (shift-padded) window overlaps it. Lines must be sorted by nu."""
+    n = wn_grid.shape[0]
+    n_blocks = -(-n // block_width)
+    npad = n_blocks * block_width
+    wn_pad = np.full(npad, wn_grid[-1], dtype=wn_grid.dtype)
+    wn_pad[:n] = wn_grid
+
+    starts = np.empty(n_blocks, dtype=np.int64)
+    counts = np.empty(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        lo = wn_pad[b * block_width] - wn_approx_window - shift_margin
+        hi = wn_pad[min((b + 1) * block_width, npad) - 1] + wn_approx_window + shift_margin
+        i0 = np.searchsorted(nu, lo, side="left")
+        i1 = np.searchsorted(nu, hi, side="right")
+        starts[b] = i0
+        counts[b] = i1 - i0
+    maxl = max(int(counts.max()), 1)
+    idx = np.zeros((n_blocks, maxl), dtype=np.int32)
+    mask = np.zeros((n_blocks, maxl))
+    for b in range(n_blocks):
+        c = int(counts[b])
+        idx[b, :c] = np.arange(starts[b], starts[b] + c)
+        mask[b, :c] = 1.0
+    return LblBlocks(
+        block_width=block_width,
+        n_blocks=n_blocks,
+        max_lines_per_block=maxl,
+        line_idx=idx,
+        line_mask=mask,
+        wn_pad=wn_pad,
+        n_wave=n,
+    )
+
+
+def layer_line_params(ll: LineList, t_calc, p_calc, amb_frac):
+    """Per-layer per-line strength, Doppler width, Lorentz width, shift.
+
+    t_calc, p_calc (atm), amb_frac: (NLAY,). Returns (NLAY, NLINE) arrays.
+    """
+    t = t_calc[:, None]
+    nu = jnp.asarray(ll.nu)[None, :]
+    elower = jnp.asarray(ll.elower)[None, :]
+
+    q_t = jnp.interp(t_calc, jnp.asarray(ll.pf_temp), jnp.asarray(ll.pf_q))
+    q_ratio = jnp.interp(
+        jnp.asarray(ll.t_ref), jnp.asarray(ll.pf_temp), jnp.asarray(ll.pf_q)
+    ) / q_t  # (NLAY,)
+
+    boltz = jnp.exp(C2_CGS * (t - ll.t_ref) / (t * ll.t_ref) * elower)
+    stim = 1.0 - jnp.exp(-C2_CGS * nu / t)
+    strength = (
+        jnp.asarray(ll.sw)[None, :]
+        * (stim / jnp.asarray(ll.stim_ref)[None, :])
+        * boltz
+        * q_ratio[:, None]
+    )
+
+    alpha_d = DOPPLER_CONST * nu * jnp.sqrt(t / ll.mass)
+
+    t_ratio = ll.t_ref / t  # (NLAY, 1)
+    p_ratio = (p_calc / ll.p_ref)[:, None]
+    frac = jnp.stack([1.0 - amb_frac, amb_frac], axis=1)  # (NLAY, 2)
+    g_self = jnp.asarray(ll.broad[0])[None, :]
+    n_self = jnp.asarray(ll.broad[1])[None, :]
+    g_amb = jnp.asarray(ll.broad[3])[None, :]
+    n_amb = jnp.asarray(ll.broad[4])[None, :]
+    d_amb = jnp.asarray(ll.broad[5])[None, :]
+    gamma_l = (
+        t_ratio**n_self * g_self * frac[:, 0:1]
+        + t_ratio**n_amb * g_amb * frac[:, 1:2]
+    ) * p_ratio
+    shift = p_ratio * d_amb * frac[:, 1:2]  # delta_self = 0 (reference)
+    return strength, alpha_d, gamma_l, shift
+
+
+def lbl_cross_section(
+    ll: LineList,
+    blocks: LblBlocks,
+    t_calc,
+    p_calc,
+    amb_frac,
+    lineshape: str = "voigt",
+    s_floor: float = 0.0,
+    wn_calc_window: float = 25.0,
+    wn_approx_window: float = 75.0,
+    include_pressure_shift: bool = True,
+    factor: float | None = None,
+) -> jnp.ndarray:
+    """Absorption cross-section k(NWAVE, NLAY) [cm^2 molecule^-1].
+
+    t_calc (K), p_calc (atm), amb_frac: (NLAY,).
+    """
+    fn = {
+        "voigt": voigt_mod.voigt,
+        "gaussian": voigt_mod.gaussian,
+        "lorentz": voigt_mod.lorentz,
+    }[lineshape]
+    if factor is None:
+        factor = 1.0 if ll.iso_id != 0 else ll.abundance
+
+    strength, alpha_d, gamma_l, shift = layer_line_params(
+        ll, jnp.asarray(t_calc), jnp.asarray(p_calc), jnp.asarray(amb_frac)
+    )
+    if not include_pressure_shift:
+        shift = jnp.zeros_like(shift)
+
+    idx = jnp.asarray(blocks.line_idx)  # (B, M)
+    lmask = jnp.asarray(blocks.line_mask)
+    wn = jnp.asarray(blocks.wn_pad).reshape(blocks.n_blocks, blocks.block_width)
+
+    def per_layer(s_l, a_l, g_l, sh_l):
+        # gather per-block line params: (B, M)
+        s = s_l[idx]
+        a = a_l[idx]
+        g = g_l[idx]
+        ctr = jnp.asarray(ll.nu)[idx] + sh_l[idx]
+
+        delta = wn[:, None, :] - ctr[:, :, None]  # (B, M, W)
+        in_win = (delta >= -wn_approx_window) & (delta < wn_approx_window)
+        in_calc = (delta >= -wn_calc_window) & (delta < wn_calc_window)
+
+        core = fn(delta, a[:, :, None], g[:, :, None])
+        wing = (
+            fn(jnp.asarray(wn_calc_window), a, g)[:, :, None]
+            * (wn_calc_window**2)
+            / (delta * delta)
+        )
+        contrib = jnp.where(in_calc, core, wing) * in_win
+        keep = (s >= s_floor) * lmask  # (B, M)
+        out = jnp.einsum("bmw,bm->bw", contrib, s * keep) * factor
+        return out.reshape(-1)[: blocks.n_wave]
+
+    k = jax.vmap(per_layer)(strength, alpha_d, gamma_l, shift)  # (NLAY, NWAVE)
+    return k.T

@@ -1,0 +1,91 @@
+"""Line-shape functions: Voigt (Weideman-24 rational approximation of the
+complex probability function), Gaussian, Lorentz.
+
+Vectorized jnp versions of the reference lineshapes (lineshape/voigt_impl/
+voigt_schreier.py:17 complex_err_fn_weideman_24a, :84 voigt_schreier;
+lineshape/gaussian.py, lorentz.py). The Weideman coefficients are from
+J.A.C. Weideman, SIAM J. Num. Anal. 31, 1497-1518 (1994), eq. 38.I, N=24 —
+the same published constants the reference uses. Fully elementwise (VPU
+ops + one 23-step Horner loop), so it vmaps/shards over (line, wave, layer)
+blocks and feeds the Pallas LBL kernel.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+SQRT_2 = np.sqrt(2.0)
+SQRT_PI = np.sqrt(np.pi)
+SQRT_LOG2 = np.sqrt(np.log(2.0))
+INV_SQRT_PI = 1.0 / SQRT_PI
+INV_SQRT_2PI = 1.0 / (SQRT_2 * SQRT_PI)
+
+L24 = np.sqrt(24.0 / np.sqrt(2.0))
+
+# Weideman (1994) N=24 expansion coefficients (a0..a24); a0 = L/sqrt(pi)
+A24 = np.array([
+    +2.3241983342526162e+00,
+    +2.1978589365315417e+00, +1.8562864992055408e+00, +1.3948196733791203e+00,
+    +9.2570871385886788e-01, +5.3611395357291292e-01, +2.6549639598807689e-01,
+    +1.0838723484566792e-01, +3.3723366855316413e-02, +6.2150063629501763e-03,
+    -4.9364269012806686e-04, -7.8166429956142650e-04, -2.0748431511424456e-04,
+    +2.4331415462641969e-05, +3.0471066083243790e-05, +4.1394617248575527e-06,
+    -3.0388931839840047e-06, -1.0856475790698251e-06, +2.5682641346701115e-07,
+    +1.8738343486619108e-07, -1.9122258522976932e-08, -3.0082822811202271e-08,
+    +1.3310461806370372e-09, +4.9048215867870488e-09, -1.5137461654527820e-10,
+])
+
+
+def complex_err_fn_weideman24(z_r, z_i):
+    """Real/imag parts of w(z) = e^{-z^2} erfc(-iz) via the Weideman-24
+    rational expansion (matches reference complex_err_fn_weideman_24a)."""
+    lp_iz_r = L24 - z_i
+    lp_iz_i = z_r
+    lm_iz_r = L24 + z_i
+    lm_iz_i = -z_r
+
+    mag = lm_iz_r * lm_iz_r + lm_iz_i * lm_iz_i
+    inv_r = lm_iz_r / mag
+    inv_i = -lm_iz_i / mag
+
+    zz_r = lp_iz_r * inv_r - lp_iz_i * inv_i
+    zz_i = lp_iz_r * inv_i + lp_iz_i * inv_r
+
+    poly_r = jnp.full_like(z_r, A24[-1])
+    poly_i = jnp.zeros_like(z_r)
+    for i in range(A24.size - 2, 0, -1):
+        t_r = poly_r * zz_r - poly_i * zz_i
+        t_i = poly_r * zz_i + poly_i * zz_r
+        poly_r = t_r + A24[i]
+        poly_i = t_i
+
+    x_r = poly_r * inv_r - poly_i * inv_i
+    x_i = poly_r * inv_i + poly_i * inv_r
+    x_r = INV_SQRT_PI + 2.0 * x_r
+    x_i = 2.0 * x_i
+    w_r = x_r * inv_r - x_i * inv_i
+    w_i = x_r * inv_i + x_i * inv_r
+    return w_r, w_i
+
+
+def voigt(delta_wn, alpha_d, gamma_l):
+    """Voigt profile (area-normalised), alpha_d = Gaussian HWHM, gamma_l =
+    Lorentz HWHM. Broadcasts all arguments (reference voigt_schreier:84)."""
+    scale = SQRT_LOG2 / alpha_d
+    x = delta_wn * scale
+    y = gamma_l * scale
+    w_r, _ = complex_err_fn_weideman24(x, y)
+    return w_r * scale * INV_SQRT_2PI * SQRT_2
+
+
+def gaussian(delta_wn, alpha_d, gamma_l=None):
+    """Doppler-only profile (reference lineshape/gaussian.py)."""
+    sigma = alpha_d / np.sqrt(2.0 * np.log(2.0))
+    return (
+        jnp.exp(-0.5 * (delta_wn / sigma) ** 2)
+        / (sigma * np.sqrt(2.0 * np.pi))
+    )
+
+
+def lorentz(delta_wn, alpha_d, gamma_l):
+    """Pressure-only profile (reference lineshape/lorentz.py)."""
+    return gamma_l / (np.pi * (gamma_l**2 + delta_wn**2))
