@@ -270,6 +270,106 @@ def path_spectrum(
     return jnp.einsum("wgp,g->wp", spec, del_g)
 
 
+def solar_flux(stellar: Optional[StellarSpec], wave):
+    """Stellar flux at the planet distance interpolated to the calc grid
+    (reference Stellar_0.calc_solar_flux:429 + ForwardModel_0.py:4353-4358).
+    """
+    if stellar is None or not stellar.solexist:
+        return jnp.zeros_like(wave)
+    au_cm = 1.49598e11 * 100.0
+    area = 4.0 * np.pi * (stellar.dist * au_cm) ** 2
+    return jnp.interp(wave, jnp.asarray(stellar.wave),
+                      jnp.asarray(stellar.solspec) / area)
+
+
+def forward_scattering_nadir(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    surf: Optional[SurfaceSpec],
+    stellar: Optional[StellarSpec],
+    cfg: ForwardConfig,
+    quad,                # rt.scattering.ScatterQuadrature
+    hgphase,             # (wave, f, g1, g2) per-mode HG params
+    emiss_ang, sol_ang, azi_ang,
+    iray_phase: bool,
+    return_diagnostics: bool = False,
+):
+    """Nadir multiple-scattering forward evaluation (reference
+    calculate_multiple_scattering_spectrum ForwardModel_0.py:4343 +
+    scloud11wave wrapper :5018): vertical layer opacities feed the
+    adding-doubling core directly (no LOS scaling).
+    """
+    from archnemesis_tpu.ops.planck import planck
+    from archnemesis_tpu.rt.scattering import (
+        henyey_greenstein2,
+        scloud11wave,
+    )
+
+    layers = build_layers(atm, laycfg, layang=0.0)
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+
+    bnu = planck(wave[:, None], layers.temp[None, :], ispace=int(cfg.ispace))
+    nmu = quad.nmu
+    if surf is not None and not cfg.gasgiant and surf.tsurf > 0.0:
+        emiss = interp1d_extrap(surf.vem, surf.emissivity, wave)
+        radg = (planck(wave, surf.tsurf, ispace=int(cfg.ispace)) * emiss)[
+            :, None
+        ] * jnp.ones((1, nmu))
+        if surf.lowbc != 0:
+            raise NotImplementedError(
+                "non-thermal lower boundary (BRDF surface) not wired yet"
+            )
+    else:
+        radg = bnu[:, 0:1] * jnp.ones((1, nmu))
+
+    sol = solar_flux(stellar, wave)
+
+    hg_wave, hg_f, hg_g1, hg_g2 = hgphase
+    phase_fns = []
+    for j in range(hg_f.shape[1]):
+        f = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_f[:, j]))
+        g1 = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_g1[:, j]))
+        g2 = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_g2[:, j]))
+        phase_fns.append(
+            lambda c, f=f, g1=g1, g2=g2: henyey_greenstein2(
+                c[None], f[:, None, None, None], g1[:, None, None, None],
+                g2[:, None, None, None],
+            )
+        )
+
+    # per-mode scattering fraction (reference wrapper FRAC :5109-5118)
+    tauscat = taus["tauscat"]
+    tauclscat = taus["tauclscat"]  # (NWAVE, NLAY, NDUST)
+    safe = jnp.where(tauscat > 0.0, tauscat, 1.0)
+    lfrac = jnp.where(
+        (tauscat > 0.0)[:, :, None], tauclscat / safe[:, :, None], 0.0
+    )
+    lfrac = jnp.transpose(lfrac, (0, 2, 1))  # (NWAVE, NCONT, NLAY)
+
+    rad = scloud11wave(
+        quad, phase_fns,
+        radg=radg,
+        sol_ang=jnp.atleast_1d(jnp.asarray(sol_ang, dtype=wave.dtype)),
+        emiss_ang=jnp.atleast_1d(jnp.asarray(emiss_ang, dtype=wave.dtype)),
+        azi_ang=jnp.atleast_1d(jnp.asarray(azi_ang, dtype=wave.dtype)),
+        solar=sol,
+        bnu=bnu,
+        taus=taus["tautot"],
+        tauray=taus["tauray"],
+        tauscat=tauscat,
+        lfrac=lfrac,
+        iray=iray_phase,
+    )  # (NWAVE, NG, NPATH)
+    spec = jnp.einsum("wgp,g->wp", rad, jnp.asarray(ktab.del_g))
+    if return_diagnostics:
+        return spec, {"layers": layers, **taus, "rad_g": rad}
+    return spec
+
+
 def forward_nadir(
     atm: Atmosphere,
     laycfg: LayerConfig,

@@ -84,6 +84,8 @@ class RunSettings:
     galb: float
     tsurf: float
     v_doppler: float = 0.0
+    mu: tuple = ()
+    wtmu: tuple = ()
 
 
 @dataclass
@@ -98,6 +100,7 @@ class Deck:
     surface: Optional[SurfaceSpec] = None
     stellar: Optional[StellarSpec] = None
     apr_path: Optional[str] = None
+    hgphase: Optional[tuple] = None  # (wave, f, g1, g2) from hgphaseN.dat
 
 
 def _skip_comments(path):
@@ -214,6 +217,8 @@ def read_set(path):
         vals = []
         while len(vals) < 2 * nmu:
             vals += f.readline().split()
+        mu = tuple(float(vals[2 * i]) for i in range(nmu))
+        wtmu = tuple(float(vals[2 * i + 1]) for i in range(nmu))
         nf = int(f.readline().split()[5])
         nphi = int(f.readline().split()[8])
         isol = int(f.readline().split()[5])
@@ -227,10 +232,29 @@ def read_set(path):
         laytp = int(f.readline().split()[3])
         layint = int(f.readline().split()[3])
     return dict(
-        nmu=nmu, nf=nf, nphi=nphi, isol=bool(isol), dist=dist,
-        lowbc=lowbc, galb=galb, tsurf=tsurf,
+        nmu=nmu, mu=mu, wtmu=wtmu, nf=nf, nphi=nphi, isol=bool(isol),
+        dist=dist, lowbc=lowbc, galb=galb, tsurf=tsurf,
         layht=layht * 1.0e3, nlayer=nlayer, laytyp=laytp, layint=layint,
     )
+
+
+def read_hgphase(ndust: int, directory: str = "."):
+    """hgphaseN.dat files: per-wave two-term HG parameters (wave, f, g1, g2)
+    (reference Scatter_0.read_hgphase:642). Returns wave (NWAVE,), and
+    f/g1/g2 (NWAVE, NDUST)."""
+    wave = None
+    fr, g1, g2 = [], [], []
+    for idust in range(ndust):
+        rows = np.array([
+            [float(x) for x in ln.split()[:4]]
+            for ln in open(os.path.join(directory, f"hgphase{idust+1}.dat"))
+            if ln.split()
+        ])
+        wave = rows[:, 0]
+        fr.append(rows[:, 1])
+        g1.append(rows[:, 2])
+        g2.append(rows[:, 3])
+    return wave, np.stack(fr, 1), np.stack(g1, 1), np.stack(g2, 1)
 
 
 def read_spx(path, woff=0.0) -> Geometry:
@@ -399,16 +423,22 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
             woff=woff, niter=niter, philimit=philimit,
             inormal=ParaH2Ratio(inormal), iray=iray, imie=imie,
             nmu=setd["nmu"], nf=setd["nf"], nphi=setd["nphi"],
+            mu=setd["mu"], wtmu=setd["wtmu"],
             isol=setd["isol"], dist=setd["dist"],
             lowbc=LowerBoundaryCondition(setd["lowbc"]), galb=setd["galb"],
             tsurf=setd["tsurf"], v_doppler=v_doppler,
         )
+        hg = None
+        if aero is not None and os.path.exists("hgphase1.dat"):
+            hg = read_hgphase(aero.ndust)
+
         apr = runname + ".apr" if os.path.exists(runname + ".apr") else None
         return Deck(
             atmosphere=atm, layer_config=laycfg, geometry=geom,
             settings=settings, ktables=ktab, cia=cia, aerosol=aero,
             surface=surf, stellar=stellar,
             apr_path=os.path.abspath(apr) if apr else None,
+            hgphase=hg,
         )
     finally:
         os.chdir(cwd)

@@ -115,7 +115,8 @@ def adjust_hydrostat_h(atm: Atmosphere, ialt: int | None = None) -> Atmosphere:
     adjust_hydrostatH Atmosphere_0.py:1027): repeat until the total
     atmospheric depth changes by < 1 %."""
     if ialt is None:
-        ialt = int(np.argmin(np.abs(np.asarray(atm.h))))
+        # trace-safe: dynamic index flows into gathers/where only
+        ialt = jnp.argmin(jnp.abs(atm.h))
 
     def cond(carry):
         h, xdepth = carry
@@ -140,11 +141,8 @@ def adjust_hydrostat_p(atm: Atmosphere, htan, ptan, ialt: int | None = None) -> 
     """Rescale pressures hydrostatically so p(htan) = ptan (reference
     adjust_hydrostatP Atmosphere_0.py:930)."""
     if ialt is None:
-        h_np = np.asarray(atm.h)
-        i = int(np.argmin(np.abs(h_np - float(htan))))
-        if h_np[i] > float(htan) and i > 0:
-            i -= 1
-        ialt = i
+        i = jnp.argmin(jnp.abs(atm.h - htan))
+        ialt = i - ((atm.h[i] > htan) & (i > 0))
 
     grav, _ = calc_grav(atm.h, atm.latitude, atm.planet)
     scale = R_GAS * atm.t / (atm.molwt * grav)

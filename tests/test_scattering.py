@@ -1,0 +1,80 @@
+"""Adding-doubling multiple-scattering core vs the reference oracle.
+
+Golden (tests/goldens/scatter_core.npz, tools/gen_scatter_golden.py): the
+reference scloud11wave_core on small synthetic inputs — thermal-only,
+sun+thermal, and Lambert surface cases, NF=2 Fourier terms, Rayleigh + one
+HG aerosol mode, tau spanning 1e-4..10 (exercising the doubling ladder and
+both series/inverse branches).
+
+Parity target: the only intended numerical differences are matmul
+association order, so rtol 1e-10 in float64.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archnemesis_tpu.rt.scattering import (
+    ScatterQuadrature,
+    henyey_greenstein2,
+    scloud11wave,
+)
+
+GOLDEN = "tests/goldens/scatter_core.npz"
+
+
+@pytest.fixture(scope="module")
+def d():
+    return np.load(GOLDEN)
+
+
+def _run(d, solar_on, surface):
+    quad = ScatterQuadrature(
+        mu=tuple(d["MU"]), wtmu=tuple(d["WTMU"]),
+        nf=int(d["NF"]), nphi=int(d["NPHI"]),
+    )
+    nwave = d["vwaves"].shape[0]
+    f = jnp.asarray(d["f"])[:, None, None, None]
+    g1 = jnp.asarray(d["g1"])[:, None, None, None]
+    g2 = jnp.asarray(d["g2"])[:, None, None, None]
+    phase_fns = [lambda c: henyey_greenstein2(c[None], f, g1, g2)]
+
+    solar = d["solar"] if solar_on else np.zeros(nwave)
+    if surface:
+        brdf = np.zeros((nwave, quad.nmu, quad.nmu, quad.nf + 1))
+        brdf[..., 0] = 0.3 / np.pi
+        brdf = jnp.asarray(brdf)
+    else:
+        brdf = None
+
+    rad = scloud11wave(
+        quad, phase_fns,
+        radg=jnp.asarray(d["radg"]),
+        sol_ang=jnp.asarray(d["SOL_ANGS"]),
+        emiss_ang=jnp.asarray(d["EMISS_ANGS"]),
+        azi_ang=jnp.asarray(d["APHIS"]),
+        solar=jnp.asarray(solar),
+        bnu=jnp.asarray(d["bnu"]),
+        taus=jnp.asarray(d["taus"]),
+        tauray=jnp.asarray(d["tauray"]),
+        tauscat=jnp.asarray(d["tauscat_aero"]),
+        lfrac=jnp.asarray(d["lfrac"]),
+        iray=True,
+        brdf_matrix=brdf,
+    )
+    return np.asarray(rad)
+
+
+@pytest.mark.parametrize(
+    "key,solar_on,surface",
+    [
+        ("RAD_thermal", False, False),
+        ("RAD_sun", True, False),
+        ("RAD_surface_sun", True, True),
+    ],
+)
+def test_scloud11wave_vs_reference(d, key, solar_on, surface):
+    got = _run(d, solar_on, surface)
+    want = d[key]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=0)
