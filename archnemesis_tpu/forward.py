@@ -27,6 +27,7 @@ from archnemesis_tpu.core.types import Atmosphere, LayerConfig
 from archnemesis_tpu.enums import (
     PathCalc,
     RayleighScatteringMode,
+    SpectralCalculationMode,
     WaveUnit,
 )
 from archnemesis_tpu.ops.cia import cia_tau
@@ -166,14 +167,20 @@ def layer_optical_depths(
     """
     press_atm = layers.press / ATM_TO_PA
 
-    # --- gas correlated-k (ForwardModel_0.py:3853-3885)
+    # --- gas opacity
     k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
     amounts = (
         layers.amount[:, jnp.asarray(cfg.spec_gas_idx)].T * SQ_CM_TO_SQ_M
     )  # (NGAS, NLAY) cm^-2
-    taugas = mix_gas_k(
-        cfg.del_g_np, k_gas, amounts, nstraddle=cfg.nstraddle
-    )
+    if ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
+        # monochromatic: plain sum over gases, NG=1
+        # (reference ForwardModel_0.py:3796-3818)
+        taugas = jnp.einsum("wglr,rl->wgl", k_gas, amounts)
+    else:
+        # correlated-k random overlap (ForwardModel_0.py:3853-3885)
+        taugas = mix_gas_k(
+            cfg.del_g_np, k_gas, amounts, nstraddle=cfg.nstraddle
+        )
 
     q_lay = layers.pp / layers.press[:, None]
 
@@ -268,6 +275,107 @@ def path_spectrum(
         raise NotImplementedError(f"IMOD {path.imod} not yet implemented")
 
     return jnp.einsum("wgp,g->wp", spec, del_g)
+
+
+def so_tangent_layers(baseh_m: np.ndarray, tanhe_km: np.ndarray):
+    """Unique tangent (bottom) layers bracketing each measured tangent height
+    (reference calc_path_SO ForwardModel_0.py:3240-3258). Host-side static.
+    """
+    nlay = baseh_m.shape[0]
+    baseh_km = np.asarray(baseh_m) / 1.0e3
+    itanhe = []
+    for th in np.atleast_1d(tanhe_km):
+        ibase = int(np.argmin(np.abs(baseh_km - th)))
+        if baseh_km[ibase] <= th:
+            ibasel, ibaseh = ibase, min(ibase + 1, nlay - 1)
+        else:
+            ibasel, ibaseh = ibase - 1, ibase
+        itanhe += [ibasel, ibaseh]
+    return np.unique(itanhe)
+
+
+def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
+    """Host-side static SO geometry: tangent-layer selection + the linear
+    tangent-height interpolation stencil (reference calc_path_SO
+    ForwardModel_0.py:3240-3258 and nemesisSOfm :943-961).
+
+    Computed once at setup from the unperturbed layering — the reference
+    likewise freezes layer heights for SO (adjust_hydrostat=False,
+    ForwardModel_0.py:855).
+    """
+    layers = build_layers(atm, laycfg, layang=90.0)
+    baseh = np.asarray(layers.baseh)
+    itanhe = so_tangent_layers(baseh, tanhe_km)
+    baseh_tan = baseh[itanhe] / 1.0e3  # (NPATH,) km
+    npath = len(itanhe)
+
+    tanhe = np.atleast_1d(np.asarray(tanhe_km))
+    lo, hi, wlo, whi = [], [], [], []
+    for th in tanhe:
+        ibase = int(np.argmin(np.abs(baseh_tan - th)))
+        if baseh_tan[ibase] <= th:
+            ibasel, ibaseh = ibase, ibase + 1
+        else:
+            ibasel, ibaseh = ibase - 1, ibase
+        if ibaseh > npath - 1:
+            lo.append(ibasel)
+            hi.append(ibasel)
+            wlo.append(1.0)
+            whi.append(0.0)
+        else:
+            fhl = (th - baseh_tan[ibasel]) / (baseh_tan[ibaseh] - baseh_tan[ibasel])
+            fhh = (baseh_tan[ibaseh] - th) / (baseh_tan[ibaseh] - baseh_tan[ibasel])
+            lo.append(ibasel)
+            hi.append(ibaseh)
+            wlo.append(1.0 - fhl)
+            whi.append(1.0 - fhh)
+    return dict(
+        itanhe=itanhe,
+        lo=np.asarray(lo), hi=np.asarray(hi),
+        wlo=np.asarray(wlo), whi=np.asarray(whi),
+    )
+
+
+def forward_so(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    cfg: ForwardConfig,
+    geo: dict,
+    return_diagnostics: bool = False,
+):
+    """Solar-occultation forward model: one transmission spectrum per
+    measured tangent height (reference nemesisSOfm ForwardModel_0.py:783 +
+    calc_path_SO :3181).
+
+    The atmosphere is layered at LAYANG=90; ALL tangent paths are computed
+    in one opacity evaluation (the reference's geometry-batching trick, the
+    default here); path spectra are interpolated to the measured tangent
+    heights with the static stencil from ``so_geometry``.
+    """
+    from archnemesis_tpu.rt.path import limb_paths
+
+    layers = build_layers(atm, laycfg, layang=90.0)
+    paths = limb_paths(
+        layers, atm.radius, atm.h[-1], geo["itanhe"],
+        imod=PathCalc.PLANCK_FUNCTION_AT_BIN_CENTRE,
+    )
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+    spec = path_spectrum(
+        cfg, wave, taus["tautot"], paths, None, ktab.del_g
+    )  # (NWAVE, NPATH) transmission
+
+    specmod = (
+        spec[:, jnp.asarray(geo["lo"])] * jnp.asarray(geo["wlo"])[None, :]
+        + spec[:, jnp.asarray(geo["hi"])] * jnp.asarray(geo["whi"])[None, :]
+    )  # (NWAVE, NGEOM)
+    if return_diagnostics:
+        return specmod, {"layers": layers, "paths": paths, **taus,
+                         "spec_paths": spec}
+    return specmod
 
 
 def solar_flux(stellar: Optional[StellarSpec], wave):

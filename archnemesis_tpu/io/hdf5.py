@@ -1,0 +1,182 @@
+"""Single-file HDF5 run format loader (the reference's ``runname.h5``
+layout, one group per component: Files.read_input_files_hdf5 Files.py:114
+and the per-class read_hdf5 methods, e.g. Atmosphere_0.py:490).
+
+Units in the HDF5 format are SI already (H in m, P in Pa), unlike the
+legacy text decks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from archnemesis_tpu.core.spectra import AerosolOptics, KTables, SurfaceSpec
+from archnemesis_tpu.core.types import Atmosphere, LayerConfig
+from archnemesis_tpu.enums import (
+    AtmosphericProfileFormat,
+    LowerBoundaryCondition,
+    ParaH2Ratio,
+    SpectraUnit,
+    SpectralCalculationMode,
+    WaveUnit,
+)
+from archnemesis_tpu.io.ktables import read_kta, read_lta
+from archnemesis_tpu.io.legacy import Deck, Geometry, RunSettings
+from archnemesis_tpu.rt.atmosphere import calc_grav, calc_molwt, gas_molwt_per_column
+
+
+def _scalar(f, name, cast=int, default=None):
+    if name not in f:
+        return default
+    return cast(np.asarray(f[name][()]).item())
+
+
+def load_deck_hdf5(path: str) -> Deck:
+    """Load a ``runname.h5`` run into framework pytrees."""
+    import h5py
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+
+    with h5py.File(path, "r") as f:
+        # --- Atmosphere (reference Atmosphere_0.read_hdf5:490)
+        a = f["Atmosphere"]
+        h = a["H"][()].astype(float)
+        p = a["P"][()].astype(float)
+        t = a["T"][()].astype(float)
+        vmr = a["VMR"][()].astype(float)
+        dust = (
+            a["DUST"][()].astype(float)
+            if "DUST" in a
+            else np.zeros((h.shape[0], 0))
+        )
+        gas_id = tuple(int(x) for x in a["ID"][()])
+        iso_id = tuple(int(x) for x in a["ISO"][()])
+        amform = AtmosphericProfileFormat(_scalar(a, "AMFORM"))
+        planet = _scalar(a, "IPLANET")
+        lat = _scalar(a, "LATITUDE", float, 0.0)
+
+        masses = gas_molwt_per_column(gas_id, iso_id)
+        molwt = np.asarray(calc_molwt(vmr, masses))
+        grav, radius = calc_grav(h, lat, planet)
+        atm = Atmosphere(
+            h=h, p=p, t=t, vmr=vmr, dust=dust,
+            parah2=np.zeros_like(h), molwt=molwt,
+            radius=np.asarray(radius), latitude=np.asarray(float(lat)),
+            gas_id=gas_id, iso_id=iso_id, planet=planet, amform=amform,
+        )
+
+        # --- Layer
+        ly = f["Layer"]
+        laycfg = LayerConfig(
+            nlay=_scalar(ly, "NLAY"),
+            laytyp=_scalar(ly, "LAYTYP"),
+            layint=_scalar(ly, "LAYINT"),
+            layht=_scalar(ly, "LAYHT", float, 0.0),
+            h_base=ly["H_base"][()].astype(float) if "H_base" in ly else None,
+            p_base=ly["P_base"][()].astype(float) if "P_base" in ly else None,
+        )
+
+        # --- Measurement (reference Measurement_0.read_hdf5:475)
+        m = f["Measurement"]
+        ngeom = _scalar(m, "NGEOM")
+        nconv = m["NCONV"][()].astype(int)
+        nav = m["NAV"][()].astype(int)
+        vconv = m["VCONV"][()].astype(float)
+        meas = m["MEAS"][()].astype(float)
+        errmeas = m["ERRMEAS"][()].astype(float)
+        emiss = m["EMISS_ANG"][()].astype(float)
+        woff = _scalar(m, "WOFF", float, 0.0)
+        tanhe = m["TANHE"][()].astype(float) if "TANHE" in m else None
+        zeros = np.zeros_like(emiss)
+        geom = Geometry(
+            fwhm=_scalar(m, "FWHM", float, 0.0),
+            latitude=_scalar(m, "LATITUDE", float, 0.0),
+            longitude=_scalar(m, "LONGITUDE", float, 0.0),
+            ngeom=ngeom, nconv=nconv, nav=nav,
+            vconv=vconv + woff, meas=meas, errmeas=errmeas,
+            flat=m["FLAT"][()].astype(float) if "FLAT" in m else zeros,
+            flon=m["FLON"][()].astype(float) if "FLON" in m else zeros,
+            sol_ang=m["SOL_ANG"][()].astype(float) if "SOL_ANG" in m else zeros,
+            emiss_ang=emiss,
+            azi_ang=m["AZI_ANG"][()].astype(float) if "AZI_ANG" in m else zeros,
+            wgeom=m["WGEOM"][()].astype(float) if "WGEOM" in m else zeros + 1,
+            tanhe=tanhe,
+            woff=woff,
+        )
+        ishape = _scalar(m, "ISHAPE", default=0)
+        ispace = _scalar(m, "ISPACE", default=0)
+        iform = _scalar(m, "IFORM", default=0)
+        v_doppler = _scalar(m, "V_DOPPLER", float, 0.0)
+
+        # --- Spectroscopy
+        sp = f["Spectroscopy"]
+        ilbl = SpectralCalculationMode(_scalar(sp, "ILBL"))
+        locations = [
+            x.decode() if isinstance(x, bytes) else str(x)
+            for x in sp["LOCATION"][()]
+        ]
+
+        # --- Scatter / Surface / Retrieval
+        sc = f["Scatter"] if "Scatter" in f else None
+        iray = _scalar(sc, "IRAY", default=0) if sc is not None else 0
+        imie = _scalar(sc, "IMIE", default=0) if sc is not None else 0
+        iscat = _scalar(sc, "ISCAT", default=0) if sc is not None else 0
+        nmu = _scalar(sc, "NMU", default=5) if sc is not None else 5
+        nf = _scalar(sc, "NF", default=0) if sc is not None else 0
+        nphi = _scalar(sc, "NPHI", default=100) if sc is not None else 100
+
+        aero: Optional[AerosolOptics] = None
+        if sc is not None and "KEXT" in sc and atm.ndust > 0:
+            kext = sc["KEXT"][()].astype(float)
+            sglalb = sc["SGLALB"][()].astype(float)
+            aero = AerosolOptics(
+                wave=sc["WAVE"][()].astype(float), kext=kext,
+                ksca=sglalb * kext,
+            )
+
+        su = f["Surface"] if "Surface" in f else None
+        tsurf = _scalar(su, "TSURF", float, 0.0) if su is not None else 0.0
+        gasgiant = su is None or tsurf <= 0.0
+        surf = SurfaceSpec(
+            tsurf=np.asarray(tsurf if not gasgiant else 0.0),
+            vem=(su["VEM"][()].astype(float) if su is not None
+                 else np.array([0.0, 1e6])),
+            emissivity=(su["EMISSIVITY"][()].astype(float)
+                        if su is not None else np.zeros(2)),
+            galb=np.asarray(_scalar(su, "GALB", float, 0.0) if su is not None else 0.0),
+            lowbc=LowerBoundaryCondition(
+                _scalar(su, "LOWBC", default=0) if su is not None else 0
+            ),
+            gasgiant=gasgiant,
+        )
+
+        rt = f["Retrieval"] if "Retrieval" in f else None
+        niter = _scalar(rt, "NITER", default=0) if rt is not None else 0
+        philimit = _scalar(rt, "PHILIMIT", float, 0.1) if rt is not None else 0.1
+
+    # spectroscopy tables (paths relative to the h5 file's directory)
+    tables = []
+    for loc in locations:
+        tp = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
+        if ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
+            tables.append(read_lta(tp))
+        else:
+            tables.append(read_kta(tp))
+    ktab = KTables.from_tables(tables, ilbl=ilbl) if tables else None
+
+    settings = RunSettings(
+        ispace=WaveUnit(ispace), iscat=iscat, ilbl=ilbl,
+        iform=SpectraUnit(iform), woff=woff, niter=niter, philimit=philimit,
+        inormal=ParaH2Ratio.EQUILIBRIUM, iray=iray, imie=imie,
+        nmu=nmu, nf=nf, nphi=nphi, isol=False, dist=0.0,
+        lowbc=surf.lowbc, galb=float(surf.galb), tsurf=tsurf,
+        v_doppler=v_doppler, ishape=ishape,
+    )
+    return Deck(
+        atmosphere=atm, layer_config=laycfg, geometry=geom,
+        settings=settings, ktables=ktab, cia=None, aerosol=aero,
+        surface=surf, stellar=None, apr_path=None,
+    )

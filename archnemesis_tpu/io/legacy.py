@@ -86,6 +86,7 @@ class RunSettings:
     v_doppler: float = 0.0
     mu: tuple = ()
     wtmu: tuple = ()
+    ishape: int = 0  # InstrumentLineshape for FWHM>0 convolution
 
 
 @dataclass

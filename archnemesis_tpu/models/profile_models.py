@@ -56,9 +56,11 @@ def _set_profile(atm, entry: ModelEntry, prof):
     if t == ProfileTarget.TEMPERATURE:
         return atm.replace(t=prof)
     if t == ProfileTarget.GAS_VMR:
-        return atm.replace(vmr=atm.vmr.at[:, entry.target_idx].set(prof))
+        vmr = jnp.asarray(atm.vmr)
+        return atm.replace(vmr=vmr.at[:, entry.target_idx].set(prof))
     if t == ProfileTarget.AEROSOL:
-        return atm.replace(dust=atm.dust.at[:, entry.target_idx].set(prof))
+        dust = jnp.asarray(atm.dust)
+        return atm.replace(dust=dust.at[:, entry.target_idx].set(prof))
     if t == ProfileTarget.PARAH2:
         return atm.replace(parah2=prof)
     raise NotImplementedError(f"target {t}")

@@ -78,8 +78,9 @@ def read_apr(path: str, atm: Atmosphere) -> StateVector:
     x0_parts, lx_parts, inum_parts = [], [], []
     sx_blocks = []
 
+    path = os.path.abspath(path)
     cwd = os.getcwd()
-    os.chdir(os.path.dirname(os.path.abspath(path)) or ".")
+    os.chdir(os.path.dirname(path) or ".")
     try:
         with open(path) as f:
             f.readline()  # header
