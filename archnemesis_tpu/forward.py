@@ -478,6 +478,120 @@ def forward_scattering_nadir(
     return spec
 
 
+def forward_singlescat_nadir(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    surf: Optional[SurfaceSpec],
+    stellar: Optional[StellarSpec],
+    cfg: ForwardConfig,
+    hgphase,            # (wave, f, g1, g2) per-mode HG params
+    emiss_ang, sol_ang, azi_ang,
+    iray_phase: bool,
+    return_diagnostics: bool = False,
+):
+    """Nadir single-scattering forward evaluation (reference
+    calculate_single_scattering_plane_parallel_spectrum
+    ForwardModel_0.py:4251; the path angle is reset to 0 for scattering
+    calculations, calc_path :2972-2975, so LOS taus equal vertical taus
+    ordered top->bottom)."""
+    from archnemesis_tpu.ops.planck import planck  # noqa: F401
+    from archnemesis_tpu.rt.singlescat import (
+        layer_mean_phase,
+        scattering_cos_angle,
+        single_scatter_plane_spectrum,
+    )
+    from archnemesis_tpu.rt.surface import (
+        hapke_brdf,
+        hg_phase2,
+        lambert_brdf,
+        oren_nayar_brdf,
+    )
+
+    layers = build_layers(atm, laycfg, layang=0.0)
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+
+    calpha = scattering_cos_angle(
+        jnp.asarray(sol_ang, dtype=wave.dtype),
+        jnp.asarray(emiss_ang, dtype=wave.dtype),
+        jnp.asarray(azi_ang, dtype=wave.dtype),
+    )
+    theta = jnp.rad2deg(jnp.arccos(jnp.clip(calpha, -1.0, 1.0)))
+
+    hg_wave, hg_f, hg_g1, hg_g2 = hgphase
+    pm = []
+    for j in range(hg_f.shape[1]):
+        f = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_f[:, j]))
+        g1 = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_g1[:, j]))
+        g2 = jnp.interp(wave, jnp.asarray(hg_wave), jnp.asarray(hg_g2[:, j]))
+        pm.append(hg_phase2(theta, g1, g2, f) / (4.0 * np.pi))
+    phase_modes = (
+        jnp.stack(pm, axis=1) if pm
+        else jnp.zeros((wave.shape[0], 0), wave.dtype)
+    )
+    phase_ray = (
+        0.75 * (1.0 + calpha**2) / (4.0 * np.pi) * jnp.ones_like(wave)
+        if iray_phase
+        else jnp.zeros_like(wave)
+    )
+
+    phase_lay = layer_mean_phase(
+        phase_modes, phase_ray, taus["tauclscat"], taus["tauray"],
+        taus["tauscat"],
+    )  # (NWAVE, NLAY)
+
+    safe_tau = jnp.where(taus["tautot"] > 0.0, taus["tautot"], 1.0)
+    omega = jnp.where(
+        taus["tautot"] > 0.0,
+        (taus["tauray"] + taus["tauscat"])[:, None, :] / safe_tau,
+        0.0,
+    )  # (NWAVE, NG, NLAY)
+
+    sol = solar_flux(stellar, wave)
+
+    if surf is not None and not cfg.gasgiant and surf.tsurf > 0.0:
+        emissivity = interp1d_extrap(surf.vem, surf.emissivity, wave)
+        tsurf = surf.tsurf
+    else:
+        emissivity = jnp.zeros_like(wave)
+        tsurf = jnp.asarray(-1.0, dtype=wave.dtype)
+
+    sol_a = jnp.atleast_1d(jnp.asarray(sol_ang, dtype=wave.dtype))
+    emi_a = jnp.atleast_1d(jnp.asarray(emiss_ang, dtype=wave.dtype))
+    azi_a = jnp.atleast_1d(jnp.asarray(azi_ang, dtype=wave.dtype))
+    if surf is not None and not cfg.gasgiant and surf.lowbc == 1:
+        albedo = jnp.where(
+            surf.galb >= 0.0,
+            surf.galb * jnp.ones_like(wave),
+            1.0 - emissivity,
+        )
+        brdf = lambert_brdf(albedo, 1)[:, 0]
+    elif surf is not None and not cfg.gasgiant and surf.lowbc == 2:
+        raise NotImplementedError("Hapke surface spectra not wired in decks yet")
+    else:
+        brdf = jnp.zeros_like(wave)
+
+    # path: vertical taus top->bottom (angle reset to 0)
+    nlay = layers.nlay
+    order = jnp.arange(nlay - 1, -1, -1)
+    tau_path = taus["tautot"][:, :, order]
+    emtemp = layers.temp[order]
+    spec = single_scatter_plane_spectrum(
+        wave, tau_path, emtemp,
+        omega[:, :, order], phase_lay[:, order],
+        jnp.ones(nlay, dtype=wave.dtype),
+        tsurf, emissivity, brdf, sol,
+        sol_a[0], emi_a[0], ispace=int(cfg.ispace),
+    )  # (NWAVE, NG)
+    out = jnp.einsum("wg,g->w", spec, jnp.asarray(ktab.del_g))[:, None]
+    if return_diagnostics:
+        return out, {"layers": layers, **taus, "phase_lay": phase_lay}
+    return out
+
+
 def forward_nadir(
     atm: Atmosphere,
     laycfg: LayerConfig,

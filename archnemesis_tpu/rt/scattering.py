@@ -316,6 +316,41 @@ def combine_path(rl, tl, jl, ic: int, r0=None, t0=None, j0=None):
     return rc, tc, jc
 
 
+def brdf_fourier_matrix(brdf_fn, quad: ScatterQuadrature, nwave: int):
+    """Azimuth-Fourier decomposition of the surface BRDF into the
+    (NWAVE, NMU, NMU, NF+1) matrix the doubling method consumes (reference
+    calc_brdf_matrix ForwardModel_0.py:5168).
+
+    brdf_fn(sol_ang, emiss_ang, azi_ang) -> (NWAVE, NTHETA) for 1D degree
+    arrays (e.g. a partial of rt.surface.hapke_brdf).
+    """
+    mu = quad.mu_desc
+    nmu, nphi, nf = quad.nmu, quad.nphi, quad.nf
+    dphi = 2.0 * np.pi / nphi
+
+    j, i, k = np.meshgrid(
+        np.arange(nmu), np.arange(nmu), np.arange(nphi + 1), indexing="ij"
+    )
+    emiss = np.rad2deg(np.arccos(mu[i])).ravel()
+    sol = np.rad2deg(np.arccos(mu[j])).ravel()
+    azi = np.rad2deg(k * dphi).ravel()
+
+    brdf = brdf_fn(sol, emiss, azi)  # (NWAVE, NMU*NMU*(NPHI+1))
+    brdf = brdf.reshape(nwave, nmu, nmu, nphi + 1)  # [w, j=sol, i=emiss, k]
+
+    phi = np.arange(nphi + 1) * dphi
+    wphi = np.full(nphi + 1, dphi)
+    wphi[0] = wphi[-1] = 0.5 * dphi
+    wphi = wphi / (2.0 * np.pi)
+    cosmat = wphi[None, :] * np.cos(
+        np.arange(nf + 1)[:, None] * phi[None, :]
+    )  # (NF+1, NPHI+1)
+
+    # output[w, i, j, ic] (emission row, solar column, as in the reference)
+    out = jnp.einsum("wjik,ck->wijc", brdf, jnp.asarray(cosmat))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Geometry interpolation + top-level driver
 # ---------------------------------------------------------------------------
