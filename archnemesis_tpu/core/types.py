@@ -41,6 +41,11 @@ class Atmosphere:
     molwt: Any  # (NP,) molecular weight profile [kg mol-1]
     radius: Any  # scalar: planetocentric radius at H=0 [m]
     latitude: Any  # scalar [deg]
+    # per-mode dust-column renormalisation target: optical depth the layered
+    # dust column is rescaled to (reference DUST_RENORMALISATION,
+    # Atmosphere_0.py:188 / ForwardModel_0.py:4833). None = off; otherwise
+    # (NDUST,) with 0 entries meaning "no renorm for this mode".
+    dust_renorm: Any = None
 
     # static metadata
     gas_id: Tuple[int, ...] = static_field(default=())

@@ -151,6 +151,21 @@ def _pair_is_inormal_dependent(cia: CIATables, p: int) -> bool:
     return count > 1
 
 
+def apply_dust_renorm(layers, atm: Atmosphere):
+    """Rescale layered dust columns so each flagged mode integrates to the
+    model-specified optical depth (reference ForwardModel_0.py:4833-4834:
+    CONT[:, i] / sum * 1e4 * DUST_RENORMALISATION[i], set by cloud models
+    9/32/47)."""
+    if atm.dust_renorm is None:
+        return layers
+    renorm = jnp.asarray(atm.dust_renorm)
+    cont = layers.cont  # (NLAY, NDUST)
+    tot = jnp.sum(cont, axis=0)
+    scaled = cont / jnp.where(tot > 0.0, tot, 1.0) * 1.0e4 * renorm
+    new = jnp.where((renorm > 0.0)[None, :], scaled, cont)
+    return layers.replace(cont=new)
+
+
 def layer_optical_depths(
     cfg: ForwardConfig,
     layers,
@@ -357,7 +372,7 @@ def forward_so(
     """
     from archnemesis_tpu.rt.path import limb_paths
 
-    layers = build_layers(atm, laycfg, layang=90.0)
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=90.0), atm)
     paths = limb_paths(
         layers, atm.radius, atm.h[-1], geo["itanhe"],
         imod=PathCalc.PLANCK_FUNCTION_AT_BIN_CENTRE,
@@ -416,7 +431,7 @@ def forward_scattering_nadir(
         scloud11wave,
     )
 
-    layers = build_layers(atm, laycfg, layang=0.0)
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     wave = ktab.wave
     taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
 
@@ -510,7 +525,7 @@ def forward_singlescat_nadir(
         oren_nayar_brdf,
     )
 
-    layers = build_layers(atm, laycfg, layang=0.0)
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     wave = ktab.wave
     taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
 
@@ -610,7 +625,7 @@ def forward_nadir(
     Equivalent to the reference nemesisfm inner loop for a single (IGEOM,
     IAV) with thermal emission (ForwardModel_0.py:437 + CIRSrad).
     """
-    layers = build_layers(atm, laycfg, layang=0.0)
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     path = nadir_path(
         layers,
         atm.radius,

@@ -14,6 +14,7 @@ gram — same as 0, aerosol target), 2 (simple scaling), 3 (log scaling),
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,3 +201,587 @@ class Model3:
     def apply(entry: ModelEntry, atm, x):
         prof = _get_profile(atm, entry)
         return _set_profile(atm, entry, prof * x[0])
+
+
+# ---------------------------------------------------------------------------
+# shared numerics for the knee/cloud profile family
+# ---------------------------------------------------------------------------
+
+
+def _atm_scale_height(atm):
+    """Pressure scale height per level (m): R T / (molwt g) (reference
+    models use atm.GRAV from calc_grav)."""
+    from archnemesis_tpu.constants import R_GAS
+    from archnemesis_tpu.rt.atmosphere import calc_grav
+
+    grav, _ = calc_grav(atm.h, atm.latitude, atm.planet)
+    return R_GAS * atm.t / (atm.molwt * grav)
+
+
+def _hknee_from_p(atm, p_pa):
+    """Altitude of a pressure level by interpolation on the sorted profile
+    (reference model_1.py hknee interp)."""
+    isort = jnp.argsort(atm.p)
+    return jnp.interp(p_pa, atm.p[isort], atm.h[isort])
+
+
+def _atm_rho(atm):
+    """Mass density (kg/m3) (reference Atmosphere_0.calc_rho:809, which
+    returns P*MOLWT/(R*T), then models multiply by 1e-3)."""
+    from archnemesis_tpu.constants import R_GAS
+
+    return atm.p * atm.molwt / (R_GAS * atm.t) * 1.0e-3
+
+
+def simpson_nonuniform(y, x):
+    """Composite Simpson's rule on non-uniform samples, matching
+    scipy.integrate.simpson (1.17: Cartwright last-interval correction for
+    an even number of samples). Static length."""
+    n = y.shape[0]
+    h = jnp.diff(x)
+
+    def basic(stop):
+        # pairs of intervals starting at 0, 2, ... < stop
+        h0 = h[0:stop:2]
+        h1 = h[1 : stop + 1 : 2]
+        y0 = y[0:stop:2]
+        y1 = y[1 : stop + 1 : 2]
+        y2 = y[2 : stop + 2 : 2]
+        hsum = h0 + h1
+        hprod = h0 * h1
+        h0divh1 = jnp.where(h1 != 0, h0 / h1, 0.0)
+        tmp = hsum / 6.0 * (
+            y0 * (2.0 - jnp.where(h0divh1 != 0, 1.0 / h0divh1, 0.0))
+            + y1 * jnp.where(hprod != 0, hsum * hsum / hprod, 0.0)
+            + y2 * (2.0 - h0divh1)
+        )
+        return jnp.sum(tmp)
+
+    if n % 2 == 1:
+        return basic(n - 2)
+    if n == 2:
+        return 0.5 * h[-1] * (y[-1] + y[-2])
+    res = basic(n - 3)
+    h0, h1 = h[-2], h[-1]
+    alpha = (2 * h1**2 + 3 * h0 * h1) / (6 * (h1 + h0))
+    beta = (h1**2 + 3.0 * h0 * h1) / (6 * h0)
+    eta = h1**3 / (6 * h0 * (h0 + h1))
+    return res + alpha * y[-1] + beta * y[-2] - eta * y[-3]
+
+
+def _knee_profile(atm, abu_deep, fsh, pknee_atm):
+    """Deep-abundance + fractional-scale-height profile above a pressure
+    knee (the reference model 1/4/20 recurrence, model_1.py calculate)."""
+    xfac = (1.0 - fsh) / fsh
+    pknee_pa = pknee_atm * 101325.0
+    hknee = _hknee_from_p(atm, pknee_pa)
+    scale = _atm_scale_height(atm)
+
+    def step(carry, inp):
+        prev, jfsh = carry
+        p_j, h_j, h_jm1, scale_j = inp
+        delh = jnp.where(jfsh == 0, h_j - hknee, h_j - h_jm1)
+        dec = prev * jnp.exp(-delh * xfac / scale_j)
+        above = p_j < pknee_pa
+        val = jnp.where(above, jnp.maximum(dec, 1.0e-36), abu_deep)
+        jfsh_new = jnp.where(above, 1, jfsh)
+        return (val, jfsh_new), val
+
+    h_prev = jnp.concatenate([atm.h[:1], atm.h[:-1]])
+    (_, _), xprof = jax.lax.scan(
+        step,
+        (jnp.asarray(0.0, atm.p.dtype), jnp.asarray(0)),
+        (atm.p, atm.h, h_prev, scale),
+    )
+    return xprof
+
+
+def _vals_block(f, n=1):
+    return [float(v) for v in f.readline().rsplit("!", 1)[0].split()[:2]]
+
+
+def _mk_entry(varident, model_id, ix, nx, ctx, extra=()):
+    target, tidx = classify_target(
+        varident, ctx["gas_id"], ctx["iso_id"], ctx["ndust"]
+    )
+    return ModelEntry(
+        varident=tuple(int(v) for v in varident),
+        model_id=model_id,
+        ix=ix,
+        nx=nx,
+        target=target,
+        target_idx=tidx,
+        extra=extra,
+    )
+
+
+@register_model
+class Model1:
+    """Knee profile: deep abundance below PKNEE, fractional-scale-height
+    decay above (reference Models/PreRTModels/model_1.py). State:
+    [abu_deep, fsh] (logged unless temperature); PKNEE static."""
+
+    id = 1
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        pknee = float(f.readline().split()[0])
+        xdeep, edeep = _vals_block(f)
+        fsh, efsh = _vals_block(f)
+        if varident[0] == 0:
+            x0d, vard, lxd = xdeep, edeep**2, 0
+        else:
+            x0d, vard, lxd = np.log(xdeep), (edeep / xdeep) ** 2, 1
+        entry = _mk_entry(varident, 1, ix, 2, ctx, extra=(float(pknee),))
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([x0d, np.log(fsh)]),
+            sx_diag=np.array([vard, (efsh / fsh) ** 2]),
+            lx=np.array([lxd, 1]),
+            inum=np.array([0, 1]),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        xprof = _knee_profile(atm, x[0], x[1], entry.extra[0])
+        return _set_profile(atm, entry, xprof)
+
+
+@register_model
+class Model4:
+    """Knee profile with retrieved knee pressure (reference model_4.py).
+    State: [abu_deep, fsh, pknee] (all logged unless temperature abu)."""
+
+    id = 4
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        pknee, eknee = _vals_block(f)
+        xdeep, edeep = _vals_block(f)
+        fsh, efsh = _vals_block(f)
+        if varident[0] == 0:
+            x0d, vard, lxd = xdeep, edeep**2, 0
+        else:
+            x0d, vard, lxd = np.log(xdeep), (edeep / xdeep) ** 2, 1
+        entry = _mk_entry(varident, 4, ix, 3, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([x0d, np.log(fsh), np.log(pknee)]),
+            sx_diag=np.array(
+                [vard, (efsh / fsh) ** 2, (eknee / pknee) ** 2]
+            ),
+            lx=np.array([lxd, 1, 1]),
+            inum=np.zeros(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        xprof = _knee_profile(atm, x[0], x[1], x[2])
+        return _set_profile(atm, entry, xprof)
+
+
+@register_model
+class Model20:
+    """Knee profile with tropopause cut-off (reference model_20.py). State:
+    [abu_deep, fsh]; PKNEE, PTROP static."""
+
+    id = 20
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        s = f.readline().split()
+        pknee, ptrop = float(s[0]), float(s[1])
+        xdeep, edeep = _vals_block(f)
+        fsh, efsh = _vals_block(f)
+        if varident[0] == 0:
+            x0d, vard, lxd = xdeep, edeep**2, 0
+        else:
+            x0d, vard, lxd = np.log(xdeep), (edeep / xdeep) ** 2, 1
+        entry = _mk_entry(
+            varident, 20, ix, 2, ctx, extra=(float(pknee), float(ptrop))
+        )
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([x0d, np.log(fsh)]),
+            sx_diag=np.array([vard, (efsh / fsh) ** 2]),
+            lx=np.array([lxd, 1]),
+            inum=np.array([0, 1]),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        xprof = _knee_profile(atm, x[0], x[1], entry.extra[0])
+        xprof = jnp.where(atm.p < entry.extra[1] * 101325.0, 1.0e-36, xprof)
+        return _set_profile(atm, entry, xprof)
+
+
+@register_model
+class Model45:
+    """Irwin CH4 relative-humidity model (reference model_45.py). State:
+    [tropo, humid, strato], all logged."""
+
+    id = 45
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        tropo, etropo = _vals_block(f)
+        humid, ehumid = _vals_block(f)
+        strato, estrato = _vals_block(f)
+        entry = _mk_entry(varident, 45, ix, 3, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=np.log([tropo, humid, strato]),
+            sx_diag=np.array(
+                [(etropo / tropo) ** 2, (ehumid / humid) ** 2,
+                 (estrato / strato) ** 2]
+            ),
+            lx=np.ones(3, dtype=int),
+            inum=np.zeros(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        tropo, humid, strato = x[0], x[1], x[2]
+        sch40, sch41 = 10.6815, -1163.83
+        pbar = atm.p / 100000.0
+        tmp = sch40 + sch41 / atm.t
+        psvp = jnp.where(tmp < -69.0, 1.0e-30, jnp.exp(tmp))
+        pch4 = tropo * pbar
+        pch4 = jnp.where(pch4 / psvp > 1.0, psvp * humid, pch4)
+        pch4 = jnp.where(
+            (pbar < 0.1) & (pch4 / pbar > strato), pbar * strato, pch4
+        )
+        pch4 = jnp.where(
+            (pbar > 0.5) & (pch4 / pbar > tropo), pbar * tropo, pch4
+        )
+        return _set_profile(atm, entry, pch4 / pbar)
+
+
+@register_model
+class Model47:
+    """Gaussian cloud in log-pressure with integrated optical depth
+    (reference model_47.py). State: [tau, pref, fwhm], all logged. Sets the
+    dust renormalisation flag so the layered column integrates to tau."""
+
+    id = 47
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        xdeep, edeep = _vals_block(f)
+        pknee, eknee = _vals_block(f)
+        xwid, ewid = _vals_block(f)
+        if varident[0] == 0:
+            x0d, vard, lxd = xdeep, edeep**2, 0
+        else:
+            x0d, vard, lxd = np.log(xdeep), (edeep / xdeep) ** 2, 1
+        entry = _mk_entry(varident, 47, ix, 3, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([x0d, np.log(pknee), np.log(xwid)]),
+            sx_diag=np.array(
+                [vard, (eknee / pknee) ** 2, (ewid / xwid) ** 2]
+            ),
+            lx=np.array([lxd, 1, 1]),
+            inum=np.zeros(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        tau, pref, fwhm = x[0], x[1], x[2]
+        scale = _atm_scale_height(atm)
+        rho = _atm_rho(atm)
+        p_atm = atm.p / 101325.0
+        y0 = jnp.log(pref)
+        q = (
+            1.0 / (fwhm * jnp.sqrt(jnp.asarray(np.pi, atm.p.dtype)))
+            * jnp.exp(-(((jnp.log(p_atm) - y0) / fwhm) ** 2))
+        )
+        nd = q * (rho / 1.0e3)
+        od = nd * scale * 1.0e5
+        od = jnp.maximum(jnp.nan_to_num(od, nan=1.0e-36), 1.0e-36)
+        q = jnp.maximum(jnp.nan_to_num(q, nan=1.0e-36), 1.0e-36)
+        xod = jnp.sum(od) * 0.25
+        x1 = jnp.maximum(q * tau / xod, 1.0e-36)
+        atm = _set_profile(atm, entry, x1)
+        renorm = (
+            jnp.zeros(atm.ndust, atm.p.dtype)
+            if atm.dust_renorm is None
+            else jnp.asarray(atm.dust_renorm)
+        )
+        renorm = renorm.at[entry.target_idx].set(tau)
+        return atm.replace(dust_renorm=renorm)
+
+
+@register_model
+class Model9:
+    """Cloud from a base height with fractional scale height, normalised to
+    an integrated column (reference model_9.py). State: [tau, fsh, href];
+    tau/fsh logged, href (km) linear."""
+
+    id = 9
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        hknee, eknee = _vals_block(f)
+        xdeep, edeep = _vals_block(f)
+        xfsh, efsh = _vals_block(f)
+        entry = _mk_entry(varident, 9, ix, 3, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([np.log(xdeep), np.log(xfsh), hknee]),
+            sx_diag=np.array(
+                [(edeep / xdeep) ** 2, (efsh / xfsh) ** 2, eknee**2]
+            ),
+            lx=np.array([1, 1, 0]),
+            inum=np.zeros(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        tau, xfsh, hknee = x[0], x[1], x[2]
+        scale = _atm_scale_height(atm)
+        h_km = atm.h / 1.0e3
+
+        def step(carry, inp):
+            prev, jfsh = carry
+            h_j, delh_j, scale_j = inp
+            above = h_j >= hknee
+            first = above & (jfsh < 0)
+            dec = prev * jnp.exp(-delh_j / (scale_j * xfsh))
+            val = jnp.where(above, jnp.where(first, 1.0, dec), 0.0)
+            return (val, jnp.where(above, 1, jfsh)), val
+
+        delh = jnp.concatenate([jnp.zeros(1, atm.h.dtype), jnp.diff(atm.h)])
+        (_, _), nd = jax.lax.scan(
+            step, (jnp.asarray(0.0, atm.h.dtype), jnp.asarray(-1)),
+            (h_km, delh, scale),
+        )
+        # partial bottom level (reference model_9 second loop)
+        h_next = jnp.concatenate([h_km[1:], h_km[-1:] + 1.0])
+        frac = 1.0 - (hknee - h_km) * 1.0e3 / (
+            (h_next - h_km) * 1.0e3
+        )
+        nd = jnp.where(
+            h_km < hknee,
+            jnp.where(h_next >= hknee, nd * frac, 0.0),
+            nd,
+        )
+        totcol = simpson_nonuniform(nd, atm.h)
+        return _set_profile(atm, entry, nd / totcol * tau)
+
+
+@register_model
+class Model32:
+    """Cloud with base pressure, fractional scale height above and a fixed
+    1 km decay below, normalised to integrated opacity (reference
+    model_32.py). State: [tau, fsh, pref], all logged."""
+
+    id = 32
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        pknee, eknee = _vals_block(f)
+        xdeep, edeep = _vals_block(f)
+        xfsh, efsh = _vals_block(f)
+        entry = _mk_entry(varident, 32, ix, 3, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([np.log(xdeep), np.log(xfsh), np.log(pknee)]),
+            sx_diag=np.array(
+                [(edeep / xdeep) ** 2, (efsh / xfsh) ** 2,
+                 (eknee / pknee) ** 2]
+            ),
+            lx=np.ones(3, dtype=int),
+            inum=np.zeros(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        tau, xfsh, pknee = x[0], x[1], x[2]
+        np_ = atm.np_
+        scale = _atm_scale_height(atm)
+        rho = _atm_rho(atm)
+        p_atm = atm.p / 101325.0
+        isort = jnp.argsort(atm.p)
+        hknee = jnp.interp(pknee, p_atm[isort], atm.h[isort])
+
+        # level just below the knee
+        jknee = jnp.maximum(
+            jnp.sum(
+                ((p_atm[:-1] >= pknee) & (p_atm[1:] < pknee))
+                * jnp.arange(np_ - 1)
+            ),
+            0,
+        )
+
+        idx = jnp.arange(np_)
+        xfac_knee = 0.5 * (scale[jknee] + scale[jknee + 1]) * xfsh
+        nd_kp1 = jnp.exp(-(atm.h[jknee + 1] - hknee) / xfac_knee)
+        nd_k = jnp.exp(-(hknee - atm.h[jknee]) / 1000.0)
+
+        # above knee+1: recurrence nd[j] = nd[j-1]*exp(-delh/(scale_j fsh))
+        log_dec = -jnp.diff(atm.h) / (scale[1:] * xfsh)  # step j-1 -> j
+        csum = jnp.concatenate(
+            [jnp.zeros(1, atm.h.dtype), jnp.cumsum(log_dec)]
+        )
+        nd_above = nd_kp1 * jnp.exp(csum - csum[jknee + 1])
+        # below knee: exp(-(h[jknee]-h[j])/1km)
+        nd_below = jnp.exp(-(atm.h[jknee] - atm.h) / 1000.0)
+        nd = jnp.where(
+            idx > jknee + 1, nd_above,
+            jnp.where(idx == jknee + 1, nd_kp1,
+                      jnp.where(idx == jknee, nd_k, nd_below)),
+        )
+        q = nd / rho / 1.0e3
+
+        # integrate optical depth downwards (reference OD loop)
+        od_top = nd[np_ - 1] * scale[np_ - 1] * xfsh * 1.0e2
+        d_above = (nd[:-1] - nd[1:]) * scale[:-1] * xfsh * 1.0e2  # j > jknee
+        d_below = (nd[1:] - nd[:-1]) * 1000.0 * 1.0e2  # j < jknee
+        j_arr = jnp.arange(np_ - 1)
+        d_knee = (
+            (1.0 - nd[jknee + 1])
+            * (0.5 * (scale[jknee] + scale[jknee + 1]) * xfsh)
+            * 1.0e2
+            + (1.0 - nd_k) * 1000.0 * 1.0e2
+        )
+        contrib = jnp.where(
+            j_arr > jknee, d_above,
+            jnp.where(j_arr == jknee, d_knee, d_below),
+        )
+        odx = od_top + jnp.sum(contrib)
+
+        x1 = jnp.clip(q * tau / odx, 1.0e-36, 1.0e10)
+        atm = _set_profile(atm, entry, x1)
+        renorm = (
+            jnp.zeros(atm.ndust, atm.p.dtype)
+            if atm.dust_renorm is None
+            else jnp.asarray(atm.dust_renorm)
+        )
+        renorm = renorm.at[entry.target_idx].set(tau)
+        return atm.replace(dust_renorm=renorm)
+
+
+@register_model
+class Model49:
+    """Scale one gas's VMR to a multiple of another gas's profile
+    (reference model_49.py). State: [scale] (logged); reference gas static.
+    """
+
+    id = 49
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        s = f.readline().rsplit("!", 1)[0].split()
+        ref_gas, ref_iso = int(s[0]), int(s[1])
+        scale, escale = _vals_block(f)
+        ref_col = None
+        for i, (g, iso) in enumerate(zip(ctx["gas_id"], ctx["iso_id"])):
+            if g == ref_gas and iso == ref_iso:
+                ref_col = i
+                break
+        if ref_col is None:
+            raise ValueError(f"model 49 reference gas {ref_gas}/{ref_iso} not in atmosphere")
+        entry = _mk_entry(varident, 49, ix, 1, ctx, extra=(ref_col,))
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([np.log(scale)]),
+            sx_diag=np.array([(escale / scale) ** 2]),
+            lx=np.ones(1, dtype=int),
+            inum=np.zeros(1, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        ref = jnp.asarray(atm.vmr)[:, entry.extra[0]]
+        return _set_profile(atm, entry, ref * x[0])
+
+
+@register_model
+class Model50:
+    """Continuous per-level scaling-factor profile (reference model_50.py).
+    State: one linear factor per level with correlation length."""
+
+    id = 50
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        fname = f.readline().split()[0]
+        nlevel, clen, pref, ref, eref = _read_profile_file(fname)
+        if nlevel != ctx["npro"]:
+            raise ValueError("model 50 profile must be on the .ref grid")
+        var = eref**2
+        entry = _mk_entry(varident, 50, ix, nlevel, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=ref.copy(),
+            sx_diag=var,
+            lx=np.zeros(nlevel, dtype=int),
+            inum=np.zeros(nlevel, dtype=int),
+            corr=_corr_block(pref, clen, var),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        prof = _get_profile(atm, entry)
+        return _set_profile(atm, entry, prof * x)
+
+
+@register_model
+class Model51:
+    """Continuous profile set directly in linear space with correlation
+    length (reference model_51.py)."""
+
+    id = 51
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        fname = f.readline().split()[0]
+        nlevel, clen, pref, ref, eref = _read_profile_file(fname)
+        if nlevel != ctx["npro"]:
+            raise ValueError("model 51 profile must be on the .ref grid")
+        var = eref**2
+        entry = _mk_entry(varident, 51, ix, nlevel, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=ref.copy(),
+            sx_diag=var,
+            lx=np.zeros(nlevel, dtype=int),
+            inum=np.zeros(nlevel, dtype=int),
+            corr=_corr_block(pref, clen, var),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        return _set_profile(atm, entry, x)
+
+
+@register_model
+class ModelM1:
+    """Continuous aerosol profile in particles per gram (reference
+    Models/PreRTModels/model_m1.py): like model 0 with an aerosol target,
+    log-space state."""
+
+    id = -1
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        fname = f.readline().split()[0]
+        nlevel, clen, pref, ref, eref = _read_profile_file(fname)
+        if nlevel != ctx["npro"]:
+            raise ValueError("model -1 profile must be on the .ref grid")
+        x0 = np.log(ref)
+        var = (eref / ref) ** 2
+        entry = _mk_entry(varident, -1, ix, nlevel, ctx)
+        return AprParseResult(
+            entry=entry,
+            x0=x0,
+            sx_diag=var,
+            lx=np.ones(nlevel, dtype=int),
+            inum=np.zeros(nlevel, dtype=int),
+            corr=_corr_block(pref, clen, var),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        return _set_profile(atm, entry, x)
