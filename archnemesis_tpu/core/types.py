@@ -41,6 +41,9 @@ class Atmosphere:
     molwt: Any  # (NP,) molecular weight profile [kg mol-1]
     radius: Any  # scalar: planetocentric radius at H=0 [m]
     latitude: Any  # scalar [deg]
+    # optional retrieved planet-radius override [m] (models 555/556); when
+    # None, gravity uses the catalogue radius
+    planet_radius: Any = None
     # per-mode dust-column renormalisation target: optical depth the layered
     # dust column is rescaled to (reference DUST_RENORMALISATION,
     # Atmosphere_0.py:188 / ForwardModel_0.py:4833). None = off; otherwise

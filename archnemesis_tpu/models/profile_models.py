@@ -214,7 +214,8 @@ def _atm_scale_height(atm):
     from archnemesis_tpu.constants import R_GAS
     from archnemesis_tpu.rt.atmosphere import calc_grav
 
-    grav, _ = calc_grav(atm.h, atm.latitude, atm.planet)
+    grav, _ = calc_grav(atm.h, atm.latitude, atm.planet,
+                        getattr(atm, "planet_radius", None))
     return R_GAS * atm.t / (atm.molwt * grav)
 
 

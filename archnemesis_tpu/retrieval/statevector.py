@@ -148,6 +148,8 @@ def apply_state(atm: Atmosphere, xn, sv: StateVector, gas_masses=None,
 
     for e in sv.entries:
         model = MODEL_REGISTRY[e.model_id]
+        if getattr(model, "domain", "atmosphere") != "atmosphere":
+            continue
         atm = model.apply(e, atm, x_unlogged[e.ix : e.ix + e.nx])
 
     if atm.amform == AtmosphericProfileFormat.CALC_MOLECULAR_WEIGHT_SCALE_VMR_TO_ONE:
@@ -158,3 +160,38 @@ def apply_state(atm: Atmosphere, xn, sv: StateVector, gas_masses=None,
         atm = adjust_hydrostat_h(atm)
 
     return atm
+
+
+def _unlog(sv: StateVector, xn):
+    lx = jnp.asarray(sv.lx)
+    xn = jnp.asarray(xn)
+    return jnp.where(lx == 1, jnp.exp(xn), xn)
+
+
+def apply_domain(sv: StateVector, xn, domain: str, obj, **kw):
+    """Apply all models of the given non-atmosphere ``domain`` to ``obj``
+    (surface -> SurfaceSpec, scatter -> AerosolOptics, measurement ->
+    dict of geometry updates). Counterpart of the reference subprofretg
+    dispatch for non-atmospheric targets (ForwardModel_0.py:2507)."""
+    x = _unlog(sv, xn)
+    for e in sv.entries:
+        model = MODEL_REGISTRY[e.model_id]
+        if getattr(model, "domain", "atmosphere") != domain:
+            continue
+        fn = getattr(model, f"apply_{domain}")
+        obj = fn(e, obj, x[e.ix : e.ix + e.nx], **kw)
+    return obj
+
+
+def apply_spectrum_models(sv: StateVector, xn, igeom: int, vconv, spec):
+    """PostRT spectral corrections on one geometry's convolved spectrum
+    (reference subspecret ForwardModel_0.py:2570)."""
+    x = _unlog(sv, xn)
+    for e in sv.entries:
+        model = MODEL_REGISTRY[e.model_id]
+        if getattr(model, "domain", "atmosphere") != "spectrum":
+            continue
+        spec = model.apply_spectrum(
+            e, igeom, jnp.asarray(vconv), spec, x[e.ix : e.ix + e.nx]
+        )
+    return spec

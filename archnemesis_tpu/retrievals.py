@@ -21,7 +21,13 @@ from archnemesis_tpu.io.ktables import read_kls, read_lls
 from archnemesis_tpu.io.legacy import Deck, load_deck
 from archnemesis_tpu.ops.convolution import conv_channel_interp, ils_weights_lbl, apply_ils
 from archnemesis_tpu.retrieval.oe import OEResult, coreret_oe
-from archnemesis_tpu.retrieval.statevector import StateVector, apply_state, read_apr
+from archnemesis_tpu.retrieval.statevector import (
+    StateVector,
+    apply_domain,
+    apply_spectrum_models,
+    apply_state,
+    read_apr,
+)
 
 
 @dataclass
@@ -89,6 +95,12 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
 
     def forward_fn(xn):
         atm = apply_state(deck.atmosphere, xn, sv)
+        surf = apply_domain(sv, xn, "surface", deck.surface)
+        aero = (
+            apply_domain(sv, xn, "scatter", deck.aerosol)
+            if deck.aerosol is not None
+            else None
+        )
         out = []
         for ig, vconv, ktw in geoms:
             nav = geom.nav[ig]
@@ -100,8 +112,8 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                     deck.layer_config,
                     ktw,
                     deck.cia,
-                    deck.aerosol,
-                    deck.surface,
+                    aero,
+                    surf,
                     cfg,
                     emiss_ang=geom.emiss_ang[ig, iav],
                     sol_ang=geom.sol_ang[ig, iav],
@@ -110,7 +122,8 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                 spec_sum = spec_sum + geom.wgeom[ig, iav] * spec
                 wsum = wsum + geom.wgeom[ig, iav]
             spec_avg = spec_sum / wsum
-            out.append(conv_channel_interp(ktw.wave, spec_avg, jnp.asarray(vconv)))
+            conv = conv_channel_interp(ktw.wave, spec_avg, jnp.asarray(vconv))
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
         return jnp.concatenate(out)
 
     return RetrievalSetup(

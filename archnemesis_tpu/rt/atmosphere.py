@@ -49,17 +49,21 @@ def _legendre_all(x):
     return [p1, p2, p3, p4, p5, p6]
 
 
-def calc_grav(h, latitude, planet: int):
+def calc_grav(h, latitude, planet: int, radius_override=None):
     """Gravity profile (m/s^2) and planetocentric radius (m) following
     Lindal et al. 1986 (reference calc_grav Atmosphere_0.py:858).
 
     h in metres; latitude in degrees (planetographic). planet is the static
     NEMESIS planet id used to look up mass/rotation/flattening/J coeffs.
+    radius_override (m, traced) replaces the catalogue equatorial radius —
+    used by the retrieved-radius models 555/556.
     """
     info = refdata.planet_info()[str(int(planet))]
     mass, rotation = info["mass"], info["rotation"]
     flatten, jcoeff = info["flatten"], info["Jcoeff"]
     radius_km = info["radius"]
+    if radius_override is not None:
+        radius_km = radius_override / 1.0e3
 
     xgm = mass * G_GRAV * 1.0e6
     xomega = 2.0 * np.pi / (rotation * 24.0 * 3600.0)
@@ -95,8 +99,9 @@ def calc_grav(h, latitude, planet: int):
     return gtot, radius_m
 
 
-def _hydrostat_h_once(h, p, t, molwt, latitude, planet, ialt):
-    grav, _ = calc_grav(h, latitude, planet)
+def _hydrostat_h_once(h, p, t, molwt, latitude, planet, ialt,
+                      radius_override=None):
+    grav, _ = calc_grav(h, latitude, planet, radius_override)
     scale = R_GAS * t / (molwt * grav)  # m
     n = h.shape[0]
     # sh between consecutive levels
@@ -126,14 +131,16 @@ def adjust_hydrostat_h(atm: Atmosphere, ialt: int | None = None) -> Atmosphere:
         h, _ = carry
         atdepth = h[-1] - h[0]
         h_new = _hydrostat_h_once(
-            h, atm.p, atm.t, atm.molwt, atm.latitude, atm.planet, ialt
+            h, atm.p, atm.t, atm.molwt, atm.latitude, atm.planet, ialt,
+            getattr(atm, "planet_radius", None)
         )
         atdepth1 = h_new[-1] - h_new[0]
         xdepth = 100.0 * jnp.abs((atdepth1 - atdepth) / atdepth)
         return (h_new, xdepth)
 
     h_fin, _ = jax.lax.while_loop(cond, body, (atm.h, jnp.asarray(100.0, atm.h.dtype)))
-    grav, radius = calc_grav(h_fin, atm.latitude, atm.planet)
+    grav, radius = calc_grav(h_fin, atm.latitude, atm.planet,
+                             getattr(atm, "planet_radius", None))
     return atm.replace(h=h_fin, radius=radius)
 
 
@@ -144,7 +151,8 @@ def adjust_hydrostat_p(atm: Atmosphere, htan, ptan, ialt: int | None = None) -> 
         i = jnp.argmin(jnp.abs(atm.h - htan))
         ialt = i - ((atm.h[i] > htan) & (i > 0))
 
-    grav, _ = calc_grav(atm.h, atm.latitude, atm.planet)
+    grav, _ = calc_grav(atm.h, atm.latitude, atm.planet,
+                        getattr(atm, "planet_radius", None))
     scale = R_GAS * atm.t / (atm.molwt * grav)
 
     sh_tan = 0.5 * (scale[ialt] + scale[ialt + 1])
