@@ -40,7 +40,11 @@ def test_registry_ids_unique_and_callable():
     for mid, cls in MODEL_REGISTRY.items():
         assert cls.id == mid
         assert callable(cls.from_apr)
-        assert callable(cls.apply)
+        domain = getattr(cls, "domain", "atmosphere")
+        hook = "apply" if domain == "atmosphere" else f"apply_{domain}"
+        if domain == "spectrum":
+            hook = "apply_spectrum"
+        assert callable(getattr(cls, hook)), f"model {mid} missing {hook}"
 
 
 @pytest.mark.parametrize("name", CASES + PARSE_ONLY)
