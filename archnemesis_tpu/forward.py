@@ -59,6 +59,9 @@ class ForwardConfig:
     pair_q2: Tuple[int, ...]
     pair_active: Tuple[int, ...]
     ray_gas_idx: Tuple[Tuple[str, int], ...]  # for IRAY=4 (h2/he/ch4/nh3)
+    # per spectroscopy gas: atmosphere columns sharing its gas id (self-
+    # broadening fraction for runtime LBL, ForwardModel_0.py:3822-3828)
+    amb_self_cols: Tuple[Tuple[int, ...], ...]
     del_g: Tuple[float, ...]  # static copy for overlap setup
     gasgiant: bool = True
     nstraddle: int = 2
@@ -119,6 +122,11 @@ def make_forward_config(
             pair_q2.append(i2 if i2 is not None else 0)
             pair_active.append(1 if active else 0)
 
+    amb_self_cols = tuple(
+        tuple(i for i, ag in enumerate(atm.gas_id) if ag == g)
+        for g in ktab.gas_id
+    )
+
     ray_idx = []
     names = {39: "h2", 40: "he", 6: "ch4", 11: "nh3"}
     for i, (g, s) in enumerate(zip(atm.gas_id, atm.iso_id)):
@@ -133,6 +141,7 @@ def make_forward_config(
         pair_q2=tuple(pair_q2),
         pair_active=tuple(pair_active),
         ray_gas_idx=tuple(ray_idx),
+        amb_self_cols=amb_self_cols,
         del_g=tuple(float(x) for x in np.asarray(ktab.del_g)),
         gasgiant=gasgiant,
         nstraddle=overlap_nstraddle(np.asarray(ktab.del_g)),
@@ -183,16 +192,42 @@ def layer_optical_depths(
     press_atm = layers.press / ATM_TO_PA
 
     # --- gas opacity
-    k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
     amounts = (
         layers.amount[:, jnp.asarray(cfg.spec_gas_idx)].T * SQ_CM_TO_SQ_M
     )  # (NGAS, NLAY) cm^-2
-    if ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
+    if ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_RUNTIME:
+        # on-the-fly Voigt synthesis per gas (reference calc_klbl_online
+        # Spectroscopy_0.py:2046 driven by ForwardModel_0.py:3819-3848:
+        # per-gas constant ambient fraction from layer-mean VMRs)
+        from archnemesis_tpu.ops.lbl import lbl_cross_section
+
+        ave_vmr = jnp.mean(layers.pp / layers.press[:, None], axis=0)
+        nlay = layers.nlay
+        taugas = 0.0
+        for i in range(len(ktab.gas_id)):
+            self_frac = jnp.sum(
+                ave_vmr[jnp.asarray(cfg.amb_self_cols[i])]
+            )
+            amb = jnp.broadcast_to(1.0 - self_frac, (nlay,))
+            k_i = lbl_cross_section(
+                ktab.line_lists[i], ktab.blocks[i],
+                layers.temp, press_atm, amb,
+                lineshape=ktab.lineshape[i],
+                s_floor=ktab.s_floor[i],
+                wn_calc_window=ktab.wn_calc_window[i],
+                wn_approx_window=ktab.wn_approx_window[i],
+                include_pressure_shift=ktab.include_pressure_shift[i],
+            )  # (NWAVE, NLAY)
+            taugas = taugas + k_i * amounts[i][None, :]
+        taugas = taugas[:, None, :]  # NG=1 axis
+    elif ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
+        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
         # monochromatic: plain sum over gases, NG=1
         # (reference ForwardModel_0.py:3796-3818)
         taugas = jnp.einsum("wglr,rl->wgl", k_gas, amounts)
     else:
         # correlated-k random overlap (ForwardModel_0.py:3853-3885)
+        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
         taugas = mix_gas_k(
             cfg.del_g_np, k_gas, amounts, nstraddle=cfg.nstraddle
         )

@@ -389,6 +389,12 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
                 read_lls(runname + ".lls"),
                 ilbl=SpectralCalculationMode.LINE_BY_LINE_TABLES,
             )
+        elif ilbl == SpectralCalculationMode.LINE_BY_LINE_RUNTIME and os.path.exists(
+            runname + ".lls"
+        ):
+            from archnemesis_tpu.io.linedata import read_lls_runtime
+
+            ktab = read_lls_runtime(runname + ".lls")
 
         cia = None
         if os.path.exists(runname + ".cia"):

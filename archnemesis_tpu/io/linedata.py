@@ -9,6 +9,8 @@ attrs t_ref (K), p_ref (atm), s_min. Partition functions under
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
@@ -117,4 +119,160 @@ def read_ans_linedata(path: str, gas_id: int, iso_id: int,
         broad=broad,
         pf_temp=pf_temp,
         pf_q=pf_q,
+    )
+
+
+@dataclass
+class RuntimeLBL:
+    """Runtime line-by-line spectroscopy (the reference's ILBL=1 RUNTIME
+    ``.lls`` format, Spectroscopy_0.py:960-1270): per-gas line lists +
+    lineshape parameters on a fixed wave grid.
+
+    Duck-types the ``KTables`` interface the forward model consumes
+    (wave / del_g / gas_id / iso_id / ilbl) so it can be passed in the
+    ``ktab`` slot; ``layer_optical_depths`` dispatches on ``ilbl``.
+    """
+
+    wave: np.ndarray
+    gas_id: tuple
+    iso_id: tuple
+    line_lists: tuple  # per gas: LineList
+    lineshape: tuple  # per gas: "voigt" | "gaussian" | "lorentz"
+    wn_calc_window: tuple
+    wn_approx_window: tuple
+    s_floor: tuple
+    include_pressure_shift: tuple
+    blocks: tuple = ()  # per gas: LblBlocks (built lazily for a wave grid)
+
+    del_g: np.ndarray = None
+    ilbl: int = 1  # SpectralCalculationMode.LINE_BY_LINE_RUNTIME
+
+    def __post_init__(self):
+        if self.del_g is None:
+            self.del_g = np.array([1.0])
+
+    @property
+    def ngas(self):
+        return len(self.gas_id)
+
+    def windowed(self, wavemin, wavemax):
+        """Restrict the LINE LISTS to [wavemin, wavemax] and build the
+        static line blocks on the (full) calc grid.
+
+        Mirrors the reference's runtime read_tables (Spectroscopy_0.py:
+        1468-1485): the wave grid stays the full .lls WAVE grid, but lines
+        are fetched only inside the per-geometry ILS range — lines just
+        outside it do NOT contribute their wings.
+        """
+        import dataclasses
+
+        from archnemesis_tpu.ops.lbl import build_blocks
+
+        lls = tuple(
+            _slice_lines(ll, wavemin, wavemax) for ll in self.line_lists
+        )
+        blocks = tuple(
+            build_blocks(self.wave, ll.nu,
+                         wn_approx_window=self.wn_approx_window[i])
+            for i, ll in enumerate(lls)
+        )
+        return dataclasses.replace(self, line_lists=lls, blocks=blocks)
+
+
+def _slice_lines(ll: LineList, wavemin: float, wavemax: float) -> LineList:
+    import dataclasses
+
+    sel = (ll.nu >= wavemin) & (ll.nu <= wavemax)
+    return dataclasses.replace(
+        ll,
+        nu=ll.nu[sel], sw=ll.sw[sel], elower=ll.elower[sel],
+        stim_ref=ll.stim_ref[sel], broad=ll.broad[:, sel],
+    )
+
+
+_LINESHAPE_NAMES = {0: "voigt", 1: "lorentz", 2: "gaussian",
+                    "VOIGT": "voigt", "LORENTZ": "lorentz",
+                    "GAUSSIAN": "gaussian"}
+
+
+def read_lls_runtime(path: str) -> RuntimeLBL:
+    """Parse a RUNTIME-format .lls file (reference Spectroscopy_0.py:960:
+    WAVE/DBASE_*/LINESHAPE/WN_*_WINDOW/AMB_GAS/MOL blocks with
+    flow-downwards defaults)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    wave_spec = None
+    cur = dict(
+        ld=None, pf=None, lineshape="voigt", wn_calc=25.0, wn_approx=75.0,
+        amb="AIR", s_floor=0.0, shift=True,
+    )
+    gases = []
+
+    def resolve(p):
+        p = p.replace("ARCHNEMESIS_PATH", "/root/reference")
+        return p if os.path.isabs(p) else os.path.join(base_dir, p)
+
+    for raw in open(path):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key = line.split()[0]
+        if key == "WAVE":
+            wave_spec = tuple(float(x) for x in line.split()[1:])
+        elif key in ("DBASE_PF",):
+            cur["pf"] = resolve(line.split(maxsplit=1)[1])
+        elif key in ("DBASE_LD", "DBASE_PC"):
+            cur["ld"] = resolve(line.split(maxsplit=1)[1]) if key == "DBASE_LD" else cur["ld"]
+        elif key == "LINESHAPE":
+            v = line.split()[1]
+            cur["lineshape"] = _LINESHAPE_NAMES[v if not v.isdigit() else int(v)]
+        elif key == "WN_CALC_WINDOW":
+            cur["wn_calc"] = float(line.split()[1])
+        elif key == "WN_APPROX_WINDOW":
+            cur["wn_approx"] = float(line.split()[1])
+        elif key == "AMB_GAS":
+            cur["amb"] = line.split()[1]
+        elif key == "S_FLOOR":
+            cur["s_floor"] = float(line.split()[1])
+        elif key == "INCLUDE_PRESSURE_SHIFT":
+            cur["shift"] = line.split()[1].upper() in ("TRUE", "T", "1")
+        elif key == "MOL":
+            parts = line.split()
+            name_or_id = parts[1]
+            gid = None
+            info = refdata.gas_info()
+            for k, v in info.items():
+                if v["name"] == name_or_id:
+                    gid = int(k)
+                    break
+            if gid is None:
+                gid = int(name_or_id)
+            iso = int(parts[2])
+            gases.append((gid, iso, dict(cur)))
+        elif key == "END_BLOCK":
+            pass
+
+    if wave_spec is None:
+        raise ValueError(f"{path}: RUNTIME .lls must define WAVE")
+    wave = np.arange(*wave_spec, dtype=float)
+
+    lls, shapes, wcs, was, sfs, shifts = [], [], [], [], [], []
+    for gid, iso, c in gases:
+        lls.append(read_ans_linedata(c["ld"], gid, iso if iso != 0 else 1,
+                                     ambient=c["amb"]))
+        shapes.append(c["lineshape"])
+        wcs.append(c["wn_calc"])
+        was.append(c["wn_approx"])
+        sfs.append(c["s_floor"])
+        shifts.append(c["shift"])
+
+    return RuntimeLBL(
+        wave=wave,
+        gas_id=tuple(g for g, _, _ in gases),
+        iso_id=tuple(i for _, i, _ in gases),
+        line_lists=tuple(lls),
+        lineshape=tuple(shapes),
+        wn_calc_window=tuple(wcs),
+        wn_approx_window=tuple(was),
+        s_floor=tuple(sfs),
+        include_pressure_shift=tuple(shifts),
     )
