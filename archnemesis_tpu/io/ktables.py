@@ -152,3 +152,70 @@ def read_lls(path: str, wavemin=-np.inf, wavemax=np.inf):
             p = name if os.path.isabs(name) else os.path.join(base, name)
             tables.append(read_lta(p, wavemin, wavemax))
     return tables
+
+
+def write_kta(path: str, gas_id: int, iso_id: int, g_ord, del_g, press,
+              temp, wave, k, fwhm: float = 0.0):
+    """Write a .kta correlated-k table (binary layout of the reference
+    write_ktable Spectroscopy_0.py:2951: header + g/P/T grids + float32
+    packed k in wave->press->temp->g order).
+
+    k: (NWAVE, NG, NPRESS, NTEMP) [cm^2]; wave must be uniform or is
+    stored explicitly (delv<=0).
+    """
+    if not path.endswith(".kta"):
+        path += ".kta"
+    wave = np.asarray(wave, dtype=np.float64)
+    ng, npress, ntemp, nwave = (
+        len(g_ord), len(press), len(temp), len(wave)
+    )
+    dv = np.diff(wave)
+    uniform = nwave > 1 and np.allclose(dv, dv[0], rtol=1e-6)
+    delv = float(dv[0]) if uniform else -1.0
+    irec0 = 10 + 2 * ng + 3 + npress + ntemp + (0 if uniform else nwave)
+
+    with open(path, "wb") as f:
+        np.int32(irec0).tofile(f)
+        np.int32(nwave).tofile(f)
+        np.float32(wave[0]).tofile(f)
+        np.float32(delv).tofile(f)
+        np.float32(fwhm).tofile(f)
+        np.int32(npress).tofile(f)
+        np.int32(ntemp).tofile(f)
+        np.int32(ng).tofile(f)
+        np.int32(gas_id).tofile(f)
+        np.int32(iso_id).tofile(f)
+        np.asarray(g_ord, dtype="<f4").tofile(f)
+        np.asarray(del_g, dtype="<f4").tofile(f)
+        np.zeros(2, dtype="<f4").tofile(f)
+        np.asarray(press, dtype="<f4").tofile(f)
+        np.asarray(temp, dtype="<f4").tofile(f)
+        if not uniform:
+            np.asarray(wave, dtype="<f4").tofile(f)
+        packed = np.transpose(
+            np.asarray(k) * K_PACK_FACTOR, (0, 2, 3, 1)
+        )  # wave, press, temp, g
+        packed.astype("<f4").tofile(f)
+
+
+def write_lta(path: str, gas_id: int, iso_id: int, press, temp, vmin: float,
+              delv: float, k):
+    """Write a .lta line-by-line table (reference write_lbltable
+    Spectroscopy_0.py:2856). k: (NWAVE, NPRESS, NTEMP) [cm^2]."""
+    if not path.endswith(".lta"):
+        path += ".lta"
+    npress, ntemp = len(press), len(temp)
+    nwave = k.shape[0]
+    irec0 = 9 + npress + ntemp
+    with open(path, "wb") as f:
+        np.int32(irec0).tofile(f)
+        np.int32(nwave).tofile(f)
+        np.float32(vmin).tofile(f)
+        np.float32(delv).tofile(f)
+        np.int32(npress).tofile(f)
+        np.int32(ntemp).tofile(f)
+        np.int32(gas_id).tofile(f)
+        np.int32(iso_id).tofile(f)
+        np.asarray(press, dtype="<f4").tofile(f)
+        np.asarray(temp, dtype="<f4").tofile(f)
+        (np.asarray(k) * K_PACK_FACTOR).astype("<f4").tofile(f)

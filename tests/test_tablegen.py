@@ -1,0 +1,109 @@
+"""Table-generation pipeline vs the reference.
+
+Goldens (tests/fixtures/tablegen/co_ref.{lta,kta},
+tools/gen_tablegen_golden.py): small tables built by the reference
+calc_lbltable / calc_ktable from the CO line data. Our generator must
+reproduce the stored (float32-packed) coefficients, and our writers must
+round-trip through our readers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from archnemesis_tpu.io.ktables import read_kta, read_lta, write_kta, write_lta
+from archnemesis_tpu.io.linedata import read_ans_linedata
+from archnemesis_tpu.ops.tablegen import (
+    gauss_legendre_g,
+    generate_ktable,
+    generate_lbltable,
+)
+
+LINE_H5 = "/root/reference/tests/files/linedata/CO_1_ambient_AIR.h5"
+FIX = "tests/fixtures/tablegen"
+
+
+@pytest.fixture(scope="module")
+def ll():
+    return read_ans_linedata(LINE_H5, 5, 1)
+
+
+def test_generate_lbltable_matches_reference(ll):
+    ref = read_lta(f"{FIX}/co_ref.lta")
+    k = generate_lbltable(
+        ll, ref.press, ref.temp, ref.wave, amb_frac=0.9,  # self_frac=0.1
+        wn_calc_window=25.0, wn_approx_window=75.0,
+    )
+    want = ref.k[:, 0, :, :]  # reader returns (NWAVE, 1, NP, NT)
+    # golden passed through float32 packing: compare at f32 precision
+    np.testing.assert_allclose(k, want, rtol=3e-7, atol=1e-30)
+
+
+def test_generate_ktable_matches_reference(ll):
+    ref = read_kta(f"{FIX}/co_ref.kta")
+    k_g, g_ord, del_g = generate_ktable(
+        ll, ref.press, ref.temp, ref.wave, ng=ref.g_ord.size,
+        amb_frac=0.9, wn_calc_window=5.0, wn_approx_window=10.0,
+    )
+    np.testing.assert_allclose(g_ord, ref.g_ord, rtol=1e-6)
+    np.testing.assert_allclose(del_g, ref.del_g, rtol=1e-6)
+    # the adaptive fine grid differs only in float round-off; the CDF
+    # interpolation amplifies that near steep k(g) edges, so compare in log
+    np.testing.assert_allclose(
+        np.log(k_g), np.log(ref.k), rtol=0, atol=2e-3
+    )
+
+
+def test_write_kta_roundtrip(ll, tmp_path):
+    g_ord, del_g = gauss_legendre_g(6)
+    press = np.logspace(-4, -1, 3)
+    temp = np.array([150.0, 250.0])
+    wave = np.arange(2140.0, 2144.0, 0.5)
+    rng = np.random.default_rng(0)
+    k = 10 ** rng.uniform(-25, -20, (wave.size, 6, 3, 2))
+    p = str(tmp_path / "t.kta")
+    write_kta(p, 5, 1, g_ord, del_g, press, temp, wave, k)
+    back = read_kta(p)
+    np.testing.assert_allclose(back.press, press, rtol=1e-6)
+    np.testing.assert_allclose(back.temp, temp, rtol=1e-6)
+    np.testing.assert_allclose(back.wave, wave, rtol=1e-6)
+    # reader layout (NWAVE, NG, NP, NT); float32 packing
+    np.testing.assert_allclose(back.k, k, rtol=3e-7)
+
+
+def test_write_lta_roundtrip(tmp_path):
+    press = np.logspace(-4, -1, 3)
+    temp = np.array([150.0, 250.0])
+    wave = np.arange(2140.0, 2144.0, 0.5)
+    rng = np.random.default_rng(1)
+    k = 10 ** rng.uniform(-25, -20, (wave.size, 3, 2))
+    p = str(tmp_path / "t.lta")
+    write_lta(p, 5, 1, press, temp, float(wave[0]), 0.5, k)
+    back = read_lta(p)
+    np.testing.assert_allclose(back.wave, wave, rtol=1e-6)
+    np.testing.assert_allclose(back.k[:, 0], k, rtol=3e-7)
+
+
+def test_reference_reads_our_tables(ll, tmp_path):
+    """Cross-compatibility: the reference readers must accept tables we
+    write (oracle round-trip)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from refutils import import_reference
+
+    ans = import_reference()
+    from archnemesis.Spectroscopy_0 import read_lbltable
+
+    press = np.logspace(-4, -1, 3)
+    temp = np.array([150.0, 250.0])
+    wave = np.arange(2140.0, 2142.0, 0.5)
+    k = np.full((wave.size, 3, 2), 1.5e-21)
+    p = str(tmp_path / "x.lta")
+    write_lta(p, 5, 1, press, temp, float(wave[0]), 0.5, k)
+    (npress, ntemp, gid, iso, pl, tl, nw, wv, kk) = read_lbltable(
+        p, 0.0, 1.0e10
+    )
+    assert (npress, ntemp, gid, iso, nw) == (3, 2, 5, 1, 4)
+    np.testing.assert_allclose(kk[:, :, :], k, rtol=3e-7)
