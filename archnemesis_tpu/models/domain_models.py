@@ -359,3 +359,29 @@ class Model667:
     @staticmethod
     def apply_spectrum(entry, igeom, vconv, spec, x):
         return spec * x[0]
+
+
+@register_model
+class Model447:
+    """Retrieved Doppler velocity shift (reference model_447.py):
+    measurement-domain, sets v_doppler (km/s)."""
+
+    id = 447
+    domain = "measurement"
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        v, err = _two(f)
+        return AprParseResult(
+            entry=_entry(varident, 447, ix, 1),
+            x0=np.array([v]),
+            sx_diag=np.array([err**2]),
+            lx=np.zeros(1, dtype=int),
+            inum=np.ones(1, dtype=int),
+        )
+
+    @staticmethod
+    def apply_measurement(entry, meas_state: dict, x):
+        out = dict(meas_state)
+        out["v_doppler"] = x[0]
+        return out

@@ -786,3 +786,254 @@ class ModelM1:
     @staticmethod
     def apply(entry: ModelEntry, atm, x):
         return _set_profile(atm, entry, x)
+
+
+# E2-like lookup table for the Guillot (2010) T-profile (reference
+# Models/PreRTModels/model_43.py e2(): log10 ordinates on z=-10..2, step .12)
+_M43_YL = np.array([
+    0.00000, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000, 0.00000,
+    0.00000, 0.00000, -2.58860e-08, -2.58860e-08, -2.58860e-08, -2.58860e-08,
+    -5.17719e-08, -5.17719e-08, -7.76579e-08, -7.76579e-08, -1.03544e-07,
+    -1.55316e-07, -2.07088e-07, -2.58860e-07, -3.36518e-07, -4.40062e-07,
+    -5.43606e-07, -7.24808e-07, -9.31896e-07, -1.21664e-06, -1.55316e-06,
+    -2.01911e-06, -2.61449e-06, -3.39108e-06, -4.40064e-06, -5.66906e-06,
+    -7.32579e-06, -9.47437e-06, -1.22442e-05, -1.58166e-05, -2.04245e-05,
+    -2.63527e-05, -3.39637e-05, -4.37754e-05, -5.64092e-05, -7.26162e-05,
+    -9.34584e-05, -0.000120179, -0.000154463, -0.000198384, -0.000254637,
+    -0.000326597, -0.000418571, -0.000536015, -0.000685872, -0.000876814,
+    -0.00111995, -0.00142903, -0.00182161, -0.00231951, -0.00295015,
+    -0.00374779, -0.00475518, -0.00602551, -0.00762473, -0.00963471,
+    -0.0121566, -0.0153151, -0.0192639, -0.0241918, -0.0303303, -0.0379631,
+    -0.0474377, -0.0591792, -0.0737073, -0.0916590, -0.113815, -0.141135,
+    -0.174802, -0.216279, -0.267385, -0.330392, -0.408156, -0.504287,
+    -0.623379, -0.771314, -0.955672, -1.18628, -1.47592, -1.84134, -2.30451,
+    -2.89434, -3.64897, -4.61874, -5.87009, -7.49083, -9.59684, -12.3411,
+    -15.9257, -20.6167, -26.7657, -34.8358,
+])
+_M43_X = 10.0 ** (-10.0 + 12.0 * np.arange(100) / 100.0)
+
+
+def _m43_e2(xin):
+    """Tabulated attenuation function of the Guillot profile (reference
+    model_43.py e2)."""
+    z1 = jnp.log10(xin)
+    i = jnp.clip(((z1 + 10.0) / 0.12).astype(jnp.int32), 0, 98)
+    x1 = jnp.asarray(_M43_X)[i]
+    x2 = jnp.asarray(_M43_X)[i + 1]
+    fx = (xin - x1) / (x2 - x1)
+    ylint = (1.0 - fx) * jnp.asarray(_M43_YL)[i] + fx * jnp.asarray(_M43_YL)[i + 1]
+    y = 10.0**ylint
+    y = jnp.where(z1 < -10.0, 1.0, jnp.where(z1 > 1.89, 0.0, y))
+    return y
+
+
+def _read_lin_log(f, log=True):
+    v, e = _vals_block(f)
+    if log:
+        return np.log(v), (e / v) ** 2, 1
+    return v, e**2, 0
+
+
+@register_model
+class Model43:
+    """Guillot (2010) radiative-equilibrium T profile for irradiated
+    exoplanets (reference model_43.py). State: [alpha, beta, k_ir,
+    gamma_v1, gamma_v2] (all logged); stellar params static."""
+
+    id = 43
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        x0, var, lx = [], [], []
+        for _ in range(5):
+            v, s2, l = _read_lin_log(f, log=True)
+            x0.append(v)
+            var.append(s2)
+            lx.append(l)
+        sline = f.readline().split()
+        t_star, r_star, sdist, t_int = (
+            float(sline[0]), float(sline[1]), float(sline[2]), float(sline[3])
+        )
+        entry = _mk_entry(
+            varident, 43, ix, 5, ctx,
+            extra=(t_star, r_star, sdist, t_int),
+        )
+        return AprParseResult(
+            entry=entry, x0=np.asarray(x0), sx_diag=np.asarray(var),
+            lx=np.asarray(lx, dtype=int), inum=np.zeros(5, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        from archnemesis_tpu.rt.atmosphere import calc_grav
+
+        alpha, beta, k_ir, g1, g2 = x[0], x[1], x[2], x[3], x[4]
+        t_star, r_star, sdist, t_int = entry.extra
+        t_eq = t_star * jnp.sqrt(0.5 * r_star / sdist)
+        t_irr = beta * t_eq
+        c1 = 0.75 * t_int**4
+        cx = 0.75 * t_irr**4
+        grav, _ = calc_grav(atm.h, atm.latitude, atm.planet,
+                            getattr(atm, "planet_radius", None))
+        g0 = grav[0]
+
+        def zeta(gamma, tau):
+            c0 = 2.0 / 3.0
+            cg = c0 / gamma
+            sarg = gamma * tau
+            xx = c0 + cg * (1.0 + (0.5 * sarg - 1.0) * jnp.exp(-sarg))
+            y = _m43_e2(sarg)
+            return xx + c0 * gamma * (1.0 - 0.5 * tau**2) * y
+
+        tau = k_ir * atm.p / g0 / 10.0
+        xv = c1 * (2.0 / 3.0 + tau) + cx * (
+            (1.0 - alpha) * zeta(g1, tau) + alpha * zeta(g2, tau)
+        )
+        return _set_profile(atm, entry, xv**0.25)
+
+
+@register_model
+class Model62:
+    """Madhusudhan & Seager (2009)-style parametric T profile (reference
+    model_62.py). State: [P1, P2, P3, T0, alpha1, alpha2]; pressures and
+    alphas logged."""
+
+    id = 62
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        specs = [True, True, True, False, True, True]
+        x0, var, lx = [], [], []
+        for log in specs:
+            v, s2, l = _read_lin_log(f, log=log)
+            x0.append(v)
+            var.append(s2)
+            lx.append(l)
+        entry = _mk_entry(varident, 62, ix, 6, ctx)
+        return AprParseResult(
+            entry=entry, x0=np.asarray(x0), sx_diag=np.asarray(var),
+            lx=np.asarray(lx, dtype=int), inum=np.ones(6, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        p1, p2, p3 = x[0] * 101325.0, x[1] * 101325.0, x[2] * 101325.0
+        t0, a1, a2 = x[3], x[4], x[5]
+        p = atm.p
+        p0 = jnp.min(p)
+        t2 = ((1 / a1) * jnp.log10(p1 / p0)) ** 2 - (
+            (1 / a2) * jnp.log10(p1 / p2)
+        ) ** 2 + t0
+        t3 = ((1 / a2) * jnp.log10(p3 / p2)) ** 2 + t2
+        tp = jnp.where(
+            p >= p3, t3,
+            jnp.where(
+                p >= p1,
+                ((1 / a2) * jnp.log10(p / p2)) ** 2 + t2,
+                ((1 / a1) * jnp.log10(p / p0)) ** 2 + t0,
+            ),
+        )
+        return _set_profile(atm, entry, jnp.clip(tp, 50.0, 6000.0))
+
+
+def _venus_cloud_modes(h_km, z_offset):
+    """The four Venus cloud/haze number-density profiles of models 110/111
+    (reference model_110.py calculate): piecewise exp/flat/exp in altitude.
+    Returns (NP, 4) in cm-3."""
+    specs = [
+        # (zb, zc, h_up, h_lo, n0)
+        (49.0, 16.0, 3.5, 1.0, 193.5),
+        (65.0, 1.0, 3.5, 3.0, 100.0),
+        (49.0, 11.0, 1.0, 0.1, 50.0),
+        (49.0, 8.0, 1.0, 0.5, 14.0),
+    ]
+    cols = []
+    for zb0, zc, hup, hlo, n0 in specs:
+        zb = zb0 + z_offset
+        below = n0 * jnp.exp(-(zb - h_km) / hlo)
+        flat = jnp.full_like(h_km, n0)
+        above = n0 * jnp.exp(-(h_km - (zb + zc)) / hup)
+        cols.append(
+            jnp.where(h_km < zb, below, jnp.where(h_km <= zb + zc, flat, above))
+        )
+    return jnp.stack(cols, axis=1)
+
+
+@register_model
+class Model110:
+    """Venus cloud: 4 fixed modes shifted by a retrieved altitude offset
+    (reference model_110.py). State: [z_offset] (km, linear)."""
+
+    id = 110
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        z0, err = _vals_block(f)
+        entry = _mk_entry(varident, 110, ix, 1, ctx)
+        return AprParseResult(
+            entry=entry, x0=np.array([z0]), sx_diag=np.array([err**2]),
+            lx=np.zeros(1, dtype=int), inum=np.ones(1, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        h_km = atm.h / 1.0e3
+        modes = _venus_cloud_modes(h_km, x[0]) * 1.0e6  # cm-3 -> m-3
+        dust = jnp.asarray(atm.dust)
+        i0 = entry.target_idx
+        dust = jax.lax.dynamic_update_slice(dust, modes, (0, i0))
+        return atm.replace(dust=dust)
+
+
+@register_model
+class Model111:
+    """Venus cloud + coupled SO2 profile (reference model_111.py). State:
+    [z_offset, so2_deep (log), so2_top (log)]."""
+
+    id = 111
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        z0, zerr = _vals_block(f)
+        sd, sde = _vals_block(f)
+        st, ste = _vals_block(f)
+        so2_col = None
+        for i, (g, s) in enumerate(zip(ctx["gas_id"], ctx["iso_id"])):
+            if g == 9 and s == 0:
+                so2_col = i
+                break
+        if so2_col is None:
+            raise ValueError("model 111 requires SO2 in the atmosphere")
+        entry = _mk_entry(varident, 111, ix, 3, ctx, extra=(so2_col,))
+        return AprParseResult(
+            entry=entry,
+            x0=np.array([z0, np.log(sd), np.log(st)]),
+            sx_diag=np.array([zerr**2, (sde / sd) ** 2, (ste / st) ** 2]),
+            lx=np.array([0, 1, 1]),
+            inum=np.ones(3, dtype=int),
+        )
+
+    @staticmethod
+    def apply(entry: ModelEntry, atm, x):
+        z_offset, so2_deep, so2_top = x[0], x[1], x[2]
+        h_km = atm.h / 1.0e3
+        modes = _venus_cloud_modes(h_km, z_offset) * 1.0e6
+        dust = jax.lax.dynamic_update_slice(
+            jnp.asarray(atm.dust), modes, (0, entry.target_idx)
+        )
+        cloud_bottom = 49.0 + z_offset
+        cloud_top = cloud_bottom + 20.0
+        grad = (jnp.log(so2_top) - jnp.log(so2_deep)) / (
+            cloud_top - cloud_bottom
+        )
+        so2 = jnp.where(
+            h_km < cloud_bottom,
+            so2_deep,
+            jnp.where(
+                h_km > cloud_top,
+                so2_top,
+                jnp.exp(jnp.log(so2_deep) + grad * (h_km - cloud_bottom)),
+            ),
+        )
+        vmr = jnp.asarray(atm.vmr).at[:, entry.extra[0]].set(so2)
+        return atm.replace(dust=dust, vmr=vmr)
