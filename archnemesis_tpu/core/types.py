@@ -58,6 +58,11 @@ class Atmosphere:
         default=AtmosphericProfileFormat.CALC_MOLECULAR_WEIGHT_SCALE_VMR_TO_ONE
     )
     dust_units_flag: Optional[Tuple[int, ...]] = static_field(default=None)
+    # saturation-vapour-pressure caps from the .vpf file: tuples of
+    # (gas_id, iso_id, vp, svpflag) (reference Atmosphere_0.SVP :191)
+    svp: Optional[Tuple[Tuple[int, int, float, int], ...]] = static_field(
+        default=None
+    )
 
     @property
     def np_(self) -> int:

@@ -37,9 +37,11 @@ def gas_name(gas_id: int, iso_id: int = 0) -> str:
 
 
 def molecular_weight(gas_id: int, iso_id: int = 0) -> float:
-    """Molar mass (g/mol) of a gas (iso_id=0: abundance-weighted mean)."""
+    """Molar mass (g/mol) of a gas (iso_id=0: abundance-weighted mean).
+    Unknown isotopologue ids fall back to the gas mean (some legacy decks
+    reference isotopes absent from the catalogue)."""
     gi = gas_info()[str(gas_id)]
-    if iso_id == 0:
+    if iso_id == 0 or str(iso_id) not in gi["isotope"]:
         return gi["mmw"]
     return gi["isotope"][str(iso_id)]["mass"]
 
@@ -55,3 +57,10 @@ def calc_mmw(vmr, ids, isos=None) -> float:
     for i, gid in enumerate(ids):
         total += vmr[i] * molecular_weight(int(gid), 0)
     return total
+
+
+def svp_coefficients():
+    """Antoine-style saturation-vapour-pressure coefficients (a, b, c, d)
+    per gas id: svp[atm] = vp * exp(a + b/T + c T + d T^2) (reference
+    Data/gas_data.py:3454)."""
+    return _load("svp_coefficients")

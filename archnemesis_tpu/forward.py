@@ -344,6 +344,44 @@ def so_tangent_layers(baseh_m: np.ndarray, tanhe_km: np.ndarray):
     return np.unique(itanhe)
 
 
+def forward_limb(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    cfg: ForwardConfig,
+    tanhe_km,
+    return_diagnostics: bool = False,
+):
+    """Limb thermal-emission forward evaluation at one tangent height.
+
+    Mirrors the reference nemesisfm path for EMISS_ANG<0 (ForwardModel_0.py
+    :505-508 + calc_path :2996-2998): the layering is re-based at the
+    tangent height (LAYHT=tanhe, LAYANG=90) and a single mirrored limb path
+    through all layers feeds the thermal-emission integral (no surface).
+
+    ``tanhe_km`` is traced — vmap over it to batch FOV tangent points.
+    """
+    from archnemesis_tpu.rt.path import limb_paths
+
+    layers = apply_dust_renorm(
+        build_layers(atm, laycfg, layang=90.0,
+                     layht_override=tanhe_km * 1.0e3),
+        atm,
+    )
+    paths = limb_paths(
+        layers, atm.radius, atm.h[-1], [0],
+        imod=PathCalc.THERMAL_EMISSION,
+    )
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+    spec = path_spectrum(cfg, wave, taus["tautot"], paths, None, ktab.del_g)
+    if return_diagnostics:
+        return spec, {"layers": layers, "paths": paths, **taus}
+    return spec
+
+
 def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
     """Host-side static SO geometry: tangent-layer selection + the linear
     tangent-height interpolation stencil (reference calc_path_SO

@@ -86,7 +86,7 @@ class RunSettings:
     v_doppler: float = 0.0
     mu: tuple = ()
     wtmu: tuple = ()
-    ishape: int = 0  # InstrumentLineshape for FWHM>0 convolution
+    ishape: int = 2  # InstrumentLineshape for FWHM>0 (reference default Gaussian, Measurement_0.py:235)
 
 
 @dataclass
@@ -370,6 +370,14 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
         setd = read_set(runname + ".set")
 
         atm = read_ref(runname + ".ref")
+        if os.path.exists(runname + ".vpf"):
+            svp = []
+            with open(runname + ".vpf") as fh:
+                for ln in fh.readlines()[1:]:
+                    t = ln.split()
+                    if len(t) >= 4:
+                        svp.append((int(t[0]), int(t[1]), float(t[2]), int(t[3])))
+            atm = atm.replace(svp=tuple(svp))
         if os.path.exists("aerosol.ref"):
             atm = read_aerosol_ref("aerosol.ref", atm)
         if os.path.exists("parah2.ref"):
@@ -403,10 +411,20 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
         aero = read_xsc(runname + ".xsc") if os.path.exists(runname + ".xsc") else None
 
         gasgiant = setd["tsurf"] <= 0.0
+        vem = np.array([0.0, 1.0e6])
+        emissivity = np.zeros(2) if gasgiant else np.ones(2)
+        if os.path.exists(runname + ".sur"):
+            # surface emissivity spectrum (reference Surface_0.read_sur)
+            toks = open(runname + ".sur").read().split()
+            nem = int(toks[0])
+            rows = np.array([float(x) for x in toks[1 : 1 + 2 * nem]]).reshape(
+                nem, 2
+            )
+            vem, emissivity = rows[:, 0], rows[:, 1]
         surf = SurfaceSpec(
             tsurf=np.asarray(0.0 if gasgiant else setd["tsurf"]),
-            vem=np.array([0.0, 1.0e6]),
-            emissivity=np.zeros(2) if gasgiant else np.ones(2),
+            vem=vem,
+            emissivity=emissivity,
             galb=np.asarray(0.0 if gasgiant else setd["galb"]),
             lowbc=LowerBoundaryCondition(
                 0 if gasgiant else setd["lowbc"]

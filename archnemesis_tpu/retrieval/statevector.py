@@ -24,6 +24,7 @@ from archnemesis_tpu.models.base import MODEL_REGISTRY, ModelEntry, ProfileTarge
 from archnemesis_tpu.rt.atmosphere import (
     adjust_hydrostat_h,
     adjust_vmr,
+    apply_svp_cap,
     calc_molwt,
     gas_molwt_per_column,
 )
@@ -155,6 +156,7 @@ def apply_state(atm: Atmosphere, xn, sv: StateVector, gas_masses=None,
     if atm.amform == AtmosphericProfileFormat.CALC_MOLECULAR_WEIGHT_SCALE_VMR_TO_ONE:
         vmr = adjust_vmr(atm.vmr, sv.iscale_mask)
         atm = atm.replace(vmr=vmr, molwt=calc_molwt(vmr, gas_masses))
+    atm = apply_svp_cap(atm)
 
     if adjust_hydrostat:
         atm = adjust_hydrostat_h(atm)

@@ -11,12 +11,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from archnemesis_tpu.core.spectra import KTables
 from archnemesis_tpu.enums import ScatteringCalculationMode, SpectraUnit
-from archnemesis_tpu.forward import forward_nadir, make_forward_config
+from archnemesis_tpu.forward import forward_limb, forward_nadir, make_forward_config
 from archnemesis_tpu.io.ktables import read_kls, read_lls
 from archnemesis_tpu.io.legacy import Deck, load_deck
 from archnemesis_tpu.ops.convolution import conv_channel_interp, ils_weights_lbl, apply_ils
@@ -41,17 +42,23 @@ class RetrievalSetup:
 
 
 def _windowed_ktab(deck: Deck, wavemin, wavemax) -> KTables:
-    """Re-window the deck's tables for a geometry's wave range (the reference
-    re-reads tables per geometry, ForwardModel_0.py:479-483; here we slice
-    the already-loaded arrays)."""
+    """Re-window the deck's tables for a geometry's wave range (the
+    reference re-reads tables per geometry, ForwardModel_0.py:479-483;
+    here we slice the already-loaded arrays). The bracket is inclusive of
+    one grid point beyond each end (Spectroscopy_0.read_tables:1495-1501).
+    """
     kt = deck.ktables
     wave = np.asarray(kt.wave)
-    sel = np.where((wave >= wavemin) & (wave <= wavemax))[0]
+    iwl = max(int(np.searchsorted(wave, wavemin, side="right")) - 1, 0)
+    iwh = min(int(np.searchsorted(wave, wavemax, side="left")),
+              wave.size - 1)
+    sel = slice(iwl, iwh + 1)
     return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
 
 
 def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
     deck = load_deck(deck_dir, runname)
+    st = deck.settings
     if deck.settings.iscat != ScatteringCalculationMode.THERMAL_EMISSION:
         raise NotImplementedError("only thermal-emission retrievals wired so far")
     if deck.settings.iform != SpectraUnit.Radiance:
@@ -70,19 +77,39 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
     se = np.diag(np.concatenate(se_parts))
 
     # per-geometry static setup
+    from archnemesis_tpu.enums import InstrumentLineshape
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+
     geoms = []
     for ig in range(geom.ngeom):
         nc = geom.nconv[ig]
         vconv = geom.vconv[:nc, ig]
         if geom.fwhm == 0.0:
             wavemin, wavemax = vconv[0], vconv[-1]
+            ils_w = None
         elif geom.fwhm > 0.0:
-            dv = 0.5 * geom.fwhm  # ISHAPE-dependent; Square default
+            # ILS support (reference calc_wave_range Measurement_0.py:2044)
+            ishape = InstrumentLineshape(st.ishape)
+            if ishape == InstrumentLineshape.Square:
+                dv = 0.5 * geom.fwhm
+            elif ishape == InstrumentLineshape.Triangular:
+                dv = geom.fwhm
+            else:
+                dv = 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0))
             wavemin, wavemax = vconv[0] - dv, vconv[-1] + dv
+            ils_w = True
         else:
             raise NotImplementedError(".fil channel integration not wired yet")
-        ktw = _windowed_ktab(deck, wavemin, wavemax)
-        geoms.append((ig, vconv, ktw))
+        if isinstance(deck.ktables, RuntimeLBL):
+            ktw = deck.ktables.windowed(wavemin, wavemax)
+        else:
+            ktw = _windowed_ktab(deck, wavemin, wavemax)
+        if ils_w is not None:
+            ils_w = jnp.asarray(ils_weights_lbl(
+                np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm,
+                InstrumentLineshape(st.ishape),
+            ))
+        geoms.append((ig, vconv, ktw, ils_w))
 
     cfg = make_forward_config(
         deck.atmosphere,
@@ -102,11 +129,20 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
             else None
         )
         out = []
-        for ig, vconv, ktw in geoms:
+        for ig, vconv, ktw, ils_w in geoms:
             nav = geom.nav[ig]
             spec_sum = 0.0
             wsum = 0.0
-            for iav in range(nav):
+            # FOV points split statically into nadir and limb sets; the
+            # limb tangent heights run as ONE vmapped batch (the reference
+            # loops nemesisfm's IAV loop instead, ForwardModel_0.py:487)
+            nadir_iavs = [
+                iav for iav in range(nav) if geom.emiss_ang[ig, iav] >= 0.0
+            ]
+            limb_iavs = [
+                iav for iav in range(nav) if geom.emiss_ang[ig, iav] < 0.0
+            ]
+            for iav in nadir_iavs:
                 spec = forward_nadir(
                     atm,
                     deck.layer_config,
@@ -121,8 +157,31 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                 )[:, 0]
                 spec_sum = spec_sum + geom.wgeom[ig, iav] * spec
                 wsum = wsum + geom.wgeom[ig, iav]
-            spec_avg = spec_sum / wsum
-            conv = conv_channel_interp(ktw.wave, spec_avg, jnp.asarray(vconv))
+            if limb_iavs:
+                tanhe = jnp.asarray(
+                    [geom.sol_ang[ig, iav] for iav in limb_iavs]
+                )
+                wts = jnp.asarray(
+                    [geom.wgeom[ig, iav] for iav in limb_iavs]
+                )
+                specs = jax.vmap(
+                    lambda th: forward_limb(
+                        atm, deck.layer_config, ktw, deck.cia, aero, cfg,
+                        tanhe_km=th,
+                    )[:, 0]
+                )(tanhe)  # (NLIMB, NWAVE)
+                spec_sum = spec_sum + jnp.einsum("i,iw->w", wts, specs)
+                wsum = wsum + jnp.sum(wts)
+            # NOTE: the reference accumulates WGEOM-weighted spectra
+            # WITHOUT dividing by the weight total (nemesisfm
+            # ForwardModel_0.py:530-535; FOV weights are pre-normalised)
+            spec_avg = spec_sum
+            if ils_w is None:
+                conv = conv_channel_interp(
+                    ktw.wave, spec_avg, jnp.asarray(vconv)
+                )
+            else:
+                conv = apply_ils(ils_w, spec_avg)
             out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
         return jnp.concatenate(out)
 

@@ -182,3 +182,29 @@ def adjust_vmr(vmr, iscale):
     sum_fixed = jnp.sum(vmr * (1 - scalable), axis=1, keepdims=True)
     xfac = (1.0 - sum_fixed) / (sumtot - sum_fixed)
     return jnp.where(scalable > 0, vmr * xfac, vmr)
+
+
+def apply_svp_cap(atm: Atmosphere) -> Atmosphere:
+    """Cap gas VMRs at their saturation vapour pressure where a .vpf entry
+    exists (reference adjust_VMR Atmosphere_0.py:753-765:
+    svp = vp exp(a + b/T + c T + d T^2) [atm])."""
+    if not atm.svp:
+        return atm
+    coeffs = refdata.svp_coefficients()
+    vmr = jnp.asarray(atm.vmr)
+    p_atm = atm.p / 101325.0
+    for gas_id, iso_id, vp, _flag in atm.svp:
+        col = None
+        for i, (g, s) in enumerate(zip(atm.gas_id, atm.iso_id)):
+            if g == gas_id and s == iso_id:
+                col = i
+                break
+        if col is None:
+            continue
+        a, b, c, d = coeffs[str(int(gas_id))]
+        svp = vp * jnp.exp(a + b / atm.t + c * atm.t + d * atm.t**2)
+        pp = vmr[:, col] * p_atm
+        vmr = vmr.at[:, col].set(
+            jnp.where(pp > svp, svp / p_atm, vmr[:, col])
+        )
+    return atm.replace(vmr=vmr)

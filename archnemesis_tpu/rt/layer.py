@@ -25,19 +25,25 @@ from archnemesis_tpu.enums import LayerIntegrationScheme, LayerType
 from archnemesis_tpu.utils.interp import interp1d_extrap, simpson_weights
 
 
-def split_layers(atm: Atmosphere, cfg: LayerConfig, layang=0.0):
+def split_layers(atm: Atmosphere, cfg: LayerConfig, layang=0.0,
+                 layht_override=None):
     """Layer base altitudes/pressures for the configured scheme.
 
     Mirrors reference ``layer_split`` (Layer_0.py:1402). Returns
     (baseh (NLAY,), basep (NLAY,)). ``cfg.laytyp`` selects a Python-level
-    branch (static); profile arrays are traced.
+    branch (static); profile arrays are traced. ``layht_override`` (traced,
+    metres) replaces cfg.layht — limb/SO geometries re-base the layering at
+    the tangent height (reference calc_path ForwardModel_0.py:2996-2998),
+    and keeping it traced lets the tangent-height batch be one vmapped
+    program instead of NAV recompilations.
     """
     h, p = atm.h, atm.p
     nlay = cfg.nlay
     # reference resets LAYHT to H(0) when below the profile base
     # (layer_split Layer_0.py:1450) — traced clamp keeps it jit-safe while
     # H changes across retrieval iterations
-    layht = jnp.maximum(jnp.asarray(cfg.layht, dtype=h.dtype), h[0])
+    base = cfg.layht if layht_override is None else layht_override
+    layht = jnp.maximum(jnp.asarray(base, dtype=h.dtype), h[0])
 
     if cfg.laytyp == LayerType.EQUAL_PRESSURE:
         pbot = interp1d_extrap(h, p, layht)
@@ -93,7 +99,10 @@ def average_layers(atm: Atmosphere, cfg: LayerConfig, baseh, basep, layang=0.0):
 
     sin = jnp.sin(jnp.deg2rad(layang))
     cos = jnp.cos(jnp.deg2rad(layang))
-    z0 = radius + cfg.layht
+    # slant geometry is anchored at the base of the lowest layer; baseh[0]
+    # equals the effective LAYHT by construction (including tangent-height
+    # overrides for limb paths), unlike the static cfg value
+    z0 = radius + baseh[0]
     zmax = radius + h[-1]
     smax = jnp.sqrt(zmax**2 - (z0 * sin) ** 2) - z0 * cos
     bases = jnp.sqrt((radius + baseh) ** 2 - (z0 * sin) ** 2) - z0 * cos
@@ -234,7 +243,8 @@ def average_layers(atm: Atmosphere, cfg: LayerConfig, baseh, basep, layang=0.0):
     )
 
 
-def build_layers(atm: Atmosphere, cfg: LayerConfig, layang=0.0) -> Layers:
+def build_layers(atm: Atmosphere, cfg: LayerConfig, layang=0.0,
+                 layht_override=None) -> Layers:
     """split + average in one call (reference ``calc_layering`` Layer_0.py:386)."""
-    baseh, basep = split_layers(atm, cfg, layang)
+    baseh, basep = split_layers(atm, cfg, layang, layht_override)
     return average_layers(atm, cfg, baseh, basep, layang)

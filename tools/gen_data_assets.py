@@ -25,7 +25,9 @@ OUT_DIR = os.path.join(
 
 def main():
     import_reference()
-    from archnemesis.Data.gas_data import gas_info, gas_id, atom_mass
+    from archnemesis.Data.gas_data import (
+        gas_info, gas_id, atom_mass, svp_coefficients,
+    )
     from archnemesis.Data.planet_data import planet_info
 
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -37,6 +39,8 @@ def main():
         json.dump(atom_mass, f)
     with open(os.path.join(OUT_DIR, "planet_info.json"), "w") as f:
         json.dump(planet_info, f)
+    with open(os.path.join(OUT_DIR, "svp_coefficients.json"), "w") as f:
+        json.dump({str(k): list(v) for k, v in svp_coefficients.items()}, f)
     print("wrote assets to", OUT_DIR)
 
 
