@@ -65,6 +65,11 @@ class ForwardConfig:
     del_g: Tuple[float, ...]  # static copy for overlap setup
     gasgiant: bool = True
     nstraddle: int = 2
+    # atmosphere columns of CO2/N2/H2 for the analytic NIR CIA bands
+    # (reference species scan, ForwardModel_0.py:4560-4584); -1 = absent
+    ico2: int = -1
+    in2: int = -1
+    ih2: int = -1
 
     @property
     def del_g_np(self):
@@ -133,6 +138,17 @@ def make_forward_config(
         if g in names and s in (0, 1) and names[g] not in dict(ray_idx):
             ray_idx.append((names[g], i))
 
+    # species columns for the analytic NIR CIA bands (reference scan keeps
+    # the LAST match, ForwardModel_0.py:4560-4584)
+    ico2 = in2 = ih2 = -1
+    for i, (g, s) in enumerate(zip(atm.gas_id, atm.iso_id)):
+        if g == 39 and s in (0, 1):
+            ih2 = i
+        elif g == 22:
+            in2 = i
+        elif g == 2 and s in (0, 1):
+            ico2 = i
+
     return ForwardConfig(
         ispace=WaveUnit(ispace),
         iray=RayleighScatteringMode(iray),
@@ -145,6 +161,9 @@ def make_forward_config(
         del_g=tuple(float(x) for x in np.asarray(ktab.del_g)),
         gasgiant=gasgiant,
         nstraddle=overlap_nstraddle(np.asarray(ktab.del_g)),
+        ico2=ico2,
+        in2=in2,
+        ih2=ih2,
     )
 
 
@@ -248,6 +267,9 @@ def layer_optical_depths(
             jnp.asarray(cfg.pair_q2),
             np.asarray(cfg.pair_active, dtype=np.float64),
             ispace=cfg.ispace,
+            ico2=cfg.ico2,
+            in2=cfg.in2,
+            ih2=cfg.ih2,
         )
     else:
         taucia = jnp.zeros((wave.shape[0], layers.nlay), dtype=layers.temp.dtype)

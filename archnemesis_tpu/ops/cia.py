@@ -11,11 +11,65 @@ The analytic CO2-CO2 / N2-N2 / N2-H2 band add-ons (CIA_0.py:631,710,775) are
 applied when those gases are present.
 """
 
+import os
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 
 from archnemesis_tpu.core.spectra import CIATables
 from archnemesis_tpu.enums import WaveUnit
 from archnemesis_tpu.utils.interp import interp1d_extrap_with_weights
+
+AMAGAT = 2.68675e19  # molecule cm-3 (CIA_0.py:703)
+
+
+@lru_cache(maxsize=1)
+def _band_tables():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "assets", "cia_bands.npz",
+    )
+    with np.load(path) as d:
+        return {k: d[k] for k in d.files}
+
+
+def analytic_cia_curves(waven, prescale: float = 1.0):
+    """Wavenumber-only k curves [cm5 molecule-2] for the analytic NIR CIA
+    bands (reference CIA_0.py co2cia:631, n2n2cia:710, n2h2cia:775):
+    measured coefficient tables (Tran+2025 CO2 2.3um window; McKellar N2-N2
+    overtone and N2-H2) interpolated on their native knots, plus the CO2
+    constant wavelength windows (De Bergh 1995, Fedorova+2014) overwritten
+    in the reference's order. Returns (k_co2, k_n2n2, k_n2h2), each (NWAVE,).
+
+    prescale multiplies the tables host-side in float64 BEFORE they become
+    device constants — the raw ~1e-45 cm5 values are subnormal in float32,
+    so the f32 path passes the 2**134 balance factor here instead of
+    multiplying after the fact.
+    """
+    t = _band_tables()
+
+    def tab(key):
+        return jnp.interp(
+            waven,
+            jnp.asarray(t[key + "_knots"]),
+            jnp.asarray(t[key + "_k"] * prescale),
+            left=0.0,
+            right=0.0,
+        )
+
+    k_co2 = tab("co2")
+    wavel = 1.0e4 / waven
+    for lo, hi, a in (
+        (1.70, 1.76, 6.0e-9),
+        (1.25, 1.35, 1.5e-9),
+        (1.125, 1.225, 0.5 * (0.31 + 0.79) * 1e-9),
+        (1.06, 1.125, 0.5 * (0.29 + 0.67) * 1e-9),
+    ):
+        k_co2 = jnp.where(
+            (wavel >= lo) & (wavel <= hi), a / AMAGAT**2 * prescale, k_co2
+        )
+    return k_co2, tab("n2n2"), tab("n2h2")
 
 
 def _bracket_clamped(grid, x):
@@ -38,6 +92,9 @@ def cia_tau(
     pair_q2_idx,
     pair_active,
     ispace=WaveUnit.Wavenumber_cm,
+    ico2: int = -1,
+    in2: int = -1,
+    ih2: int = -1,
 ):
     """CIA optical depth (NWAVE, NLAY).
 
@@ -52,6 +109,8 @@ def cia_tau(
         each CIA pair's two gases (use 0 for inactive pairs)
     pair_active : static (NPAIR,) 0/1 mask — pair present in atmosphere AND
         (not INORMAL-dependent OR its INORMALT matches the run's INORMAL)
+    ico2, in2, ih2 : static atmosphere columns of CO2/N2/H2 (-1 = absent);
+        enable the analytic NIR band add-ons (ForwardModel_0.py:4752-4770)
     """
     if ispace == WaveUnit.Wavenumber_cm:
         waven = wavec
@@ -100,6 +159,21 @@ def cia_tau(
     xlen_cm = delh * 1.0e2
     xfac_scaled = (totam_cm2 / half_scale) ** 2 / xlen_cm
     tau = (sum_pairs * scale) * xfac_scaled[None, :]
+
+    # --- analytic NIR band add-ons (T-independent, ForwardModel_0.py:4752-4770);
+    # curves enter pre-scaled by 2**134 so they survive float32
+    if ico2 >= 0 or in2 >= 0:
+        k_co2, k_n2n2, k_n2h2 = analytic_cia_curves(waven, prescale=scale)
+        band = 0.0
+        if ico2 >= 0:
+            band = band + k_co2[:, None] * (q_lay[:, ico2] ** 2)[None, :]
+        if in2 >= 0:
+            band = band + k_n2n2[:, None] * (q_lay[:, in2] ** 2)[None, :]
+        if in2 >= 0 and ih2 >= 0:
+            band = band + k_n2h2[:, None] * (
+                q_lay[:, in2] * q_lay[:, ih2]
+            )[None, :]
+        tau = tau + band * xfac_scaled[None, :]
 
     if ispace != WaveUnit.Wavenumber_cm:
         # undo the wavenumber sort back to the wavelength ordering

@@ -1,0 +1,83 @@
+"""Analytic NIR CIA bands (CO2-CO2 / N2-N2 / N2-H2) vs the reference
+functions (CIA_0.py co2cia:631, n2n2cia:710, n2h2cia:775), and their
+wiring into cia_tau (ForwardModel_0.py:4752-4770)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archnemesis_tpu.core.spectra import CIATables
+from archnemesis_tpu.enums import ParaH2Ratio, WaveUnit
+from archnemesis_tpu.ops.cia import AMAGAT, analytic_cia_curves, cia_tau
+
+
+@pytest.fixture(scope="module")
+def ref_cia():
+    from tools.refutils import import_reference
+
+    import_reference()
+    from archnemesis.CIA_0 import co2cia, n2h2cia, n2n2cia
+
+    return co2cia, n2n2cia, n2h2cia
+
+
+def test_curves_match_reference(ref_cia):
+    co2cia, n2n2cia, n2h2cia = ref_cia
+    rng = np.random.default_rng(7)
+    # spans the 2.3um table, both N2 bands, the constant CO2 wavelength
+    # windows (5682-9434 cm-1), and out-of-band zeros
+    waven = np.sort(rng.uniform(3000.0, 10000.0, 4000))
+    # pin a few exact knots and window edges
+    waven = np.concatenate(
+        [waven, [3950.0, 4500.0, 4825.0, 3995.0, 4995.0, 1e4 / 1.76, 1e4 / 1.06]]
+    )
+    waven.sort()
+    k_co2, k_n2n2, k_n2h2 = analytic_cia_curves(jnp.asarray(waven))
+    np.testing.assert_allclose(np.asarray(k_co2), co2cia(waven), rtol=1e-12,
+                               atol=1e-60)
+    np.testing.assert_allclose(np.asarray(k_n2n2), n2n2cia(waven), rtol=1e-12,
+                               atol=1e-60)
+    np.testing.assert_allclose(np.asarray(k_n2h2), n2h2cia(waven), rtol=1e-12,
+                               atol=1e-60)
+
+
+def test_cia_tau_band_wiring(ref_cia):
+    """cia_tau with an empty pair table but CO2/N2/H2 present must produce
+    exactly XFAC * (k_co2 q_co2^2 + k_n2n2 q_n2^2 + k_n2h2 q_n2 q_h2)."""
+    co2cia, n2n2cia, n2h2cia = ref_cia
+    rng = np.random.default_rng(3)
+    nlay = 5
+    waven = np.linspace(4000.0, 4900.0, 300)
+    # 1-pair table with zero cross sections (keeps shapes valid)
+    cia = CIATables(
+        waven=np.array([10.0, 20000.0]),
+        temp=np.array([50.0, 400.0]),
+        frac=np.array([0.25]),
+        k_cia=np.zeros((1, 1, 2, 2)),
+        pair_gas1=(39,),
+        pair_gas2=(40,),
+        inormalt=(None,),
+        npara=0,
+        inormal=ParaH2Ratio.EQUILIBRIUM,
+    )
+    q = rng.uniform(0.01, 0.5, (nlay, 3))  # columns: co2, n2, h2
+    temp = rng.uniform(150.0, 300.0, nlay)
+    totam = rng.uniform(1e28, 1e30, nlay)  # m-2
+    delh = rng.uniform(1e3, 1e4, nlay)  # m
+
+    tau = np.asarray(
+        cia_tau(
+            cia, jnp.asarray(waven), jnp.asarray(temp),
+            jnp.zeros(nlay), jnp.asarray(q), jnp.asarray(totam),
+            jnp.asarray(delh), jnp.zeros(1, dtype=int),
+            jnp.zeros(1, dtype=int), np.zeros(1),
+            ispace=WaveUnit.Wavenumber_cm, ico2=0, in2=1, ih2=2,
+        )
+    )
+    xfac = (totam * 1e-4) ** 2 / (delh * 1e2)
+    expect = (
+        co2cia(waven)[:, None] * q[None, :, 0] ** 2
+        + n2n2cia(waven)[:, None] * q[None, :, 1] ** 2
+        + n2h2cia(waven)[:, None] * q[None, :, 1] * q[None, :, 2]
+    ) * xfac[None, :]
+    np.testing.assert_allclose(tau, expect, rtol=1e-10)
