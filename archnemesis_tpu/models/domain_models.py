@@ -213,7 +213,7 @@ class Model887:
         )
 
     @staticmethod
-    def apply_scatter(entry, aero, x):
+    def apply_scatter(entry, aero, x, **_kw):
         kext = jnp.asarray(aero.kext)
         return aero.replace(kext=kext.at[:, entry.extra[0]].set(x))
 

@@ -71,6 +71,7 @@ class OEResult:
     n_iter: int
     phi_history: List[float]
     converged: bool
+    itr_records: Optional[list] = None
 
 
 def coreret_oe(
@@ -84,6 +85,7 @@ def coreret_oe(
     philimit: float = 0.1,
     state_check: Optional[Callable] = None,
     verbose: bool = False,
+    record_itr: bool = False,
 ) -> OEResult:
     """Run the OE iteration loop (reference coreretOE:1173).
 
@@ -116,7 +118,14 @@ def coreret_oe(
     alambda = 1.0
     converged = False
     n_done = 0
+    itr_records = [] if record_itr else None
     for it in range(niter):
+        if record_itr:
+            itr_records.append(dict(
+                chisq=float(chisq), phi=float(phi),
+                xn1=np.asarray(xn), yn1=np.asarray(yn),
+                yn=np.asarray(yn), kk=np.asarray(kk),
+            ))
         dd, aa = calc_gain_matrix(kk, sa, se)
         x_out = calc_next_xn(xa, xn, y, yn, dd, aa)
 
@@ -180,4 +189,5 @@ def coreret_oe(
         n_iter=n_done,
         phi_history=phi_history,
         converged=converged,
+        itr_records=itr_records,
     )

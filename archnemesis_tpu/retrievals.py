@@ -124,10 +124,22 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
         atm = apply_state(deck.atmosphere, xn, sv)
         surf = apply_domain(sv, xn, "surface", deck.surface)
         aero = (
-            apply_domain(sv, xn, "scatter", deck.aerosol)
+            apply_domain(sv, xn, "scatter", deck.aerosol,
+                         ispace=int(st.ispace))
             if deck.aerosol is not None
             else None
         )
+        cia = deck.cia
+        if cia is not None:
+            # spectroscopy wave range in cm-1 for CIA-domain models
+            # (reference model_500 hook, model_500.py:185-196)
+            tw = np.asarray(deck.ktables.wave)
+            vr = (
+                (float(tw.min()), float(tw.max()))
+                if int(st.ispace) == 0
+                else (1.0e4 / float(tw.max()), 1.0e4 / float(tw.min()))
+            )
+            cia = apply_domain(sv, xn, "cia", cia, wave_range=vr)
         out = []
         for ig, vconv, ktw, ils_w in geoms:
             nav = geom.nav[ig]
@@ -147,7 +159,7 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                     atm,
                     deck.layer_config,
                     ktw,
-                    deck.cia,
+                    cia,
                     aero,
                     surf,
                     cfg,
@@ -166,7 +178,7 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                 )
                 specs = jax.vmap(
                     lambda th: forward_limb(
-                        atm, deck.layer_config, ktw, deck.cia, aero, cfg,
+                        atm, deck.layer_config, ktw, cia, aero, cfg,
                         tanhe_km=th,
                     )[:, 0]
                 )(tanhe)  # (NLIMB, NWAVE)
@@ -214,3 +226,83 @@ def run_retrieval(
         verbose=verbose,
     )
     return setup, res
+
+
+def retrieval_nemesis(
+    deck_dir: str,
+    runname: str,
+    lin: int = 0,
+    niter: Optional[int] = None,
+    philimit: Optional[float] = None,
+    write_outputs: bool = True,
+    verbose: bool = False,
+) -> OEResult:
+    """Full retrieval driver (reference retrieval_nemesis Retrievals.py:31):
+    load deck, optional LIN chaining from <runname>.pre, OE retrieval, and
+    legacy output files (.mre/.cov/.raw/.itr).
+
+    LIN semantics (Retrievals.py:171-290):
+      1 - apply the previous retrieval and fold its posterior through the
+          Jacobian into SE as forward-model error
+      2 - substitute the previous posterior state/covariance as the new
+          a-priori for matching VARIDENTs
+      3 - both
+    """
+    import os
+
+    import jax
+
+    from archnemesis_tpu.retrieval import output as out_mod
+
+    setup = make_retrieval_setup(deck_dir, runname)
+    st = setup.deck.settings
+    sv = setup.sv
+    xa = np.array(sv.xa)
+    sa = np.array(sv.sa)
+    se = np.array(setup.se)
+
+    if lin > 0:
+        prev = out_mod.read_raw(os.path.join(deck_dir, runname + ".pre"))
+        if lin in (2, 3):
+            # substitute matching-varident blocks (Retrievals.py:195-215)
+            off_prev = {}
+            # previous entries are matched positionally by varident; the
+            # .pre stores only varidents, block sizes come from matching
+            # against the current state vector layout
+            ix2 = 0
+            for vid in prev["varidents"]:
+                off_prev[vid] = ix2
+                for e in sv.entries:
+                    if e.varident == vid:
+                        ix2 += e.nx
+                        break
+            for e in sv.entries:
+                if e.varident in off_prev:
+                    i1, i2 = e.ix, off_prev[e.varident]
+                    xa[i1 : i1 + e.nx] = prev["xn"][i2 : i2 + e.nx]
+                    sa[i1 : i1 + e.nx, i1 : i1 + e.nx] = prev["st"][
+                        i2 : i2 + e.nx, i2 : i2 + e.nx
+                    ]
+        if lin in (1, 3):
+            # forward-model error from the previous retrieval's posterior
+            # (Retrievals.py:176-186): SE += K ST K^T at the previous state
+            kk_prev = np.asarray(
+                jax.jacfwd(setup.forward_fn)(jnp.asarray(prev["xn"]))
+            )
+            se = se + kk_prev @ prev["st"] @ kk_prev.T
+
+    res = coreret_oe(
+        setup.forward_fn, xa, sa, setup.y, se, sv.lx,
+        niter=niter if niter is not None else max(st.niter, 0),
+        philimit=philimit if philimit is not None else st.philimit,
+        verbose=verbose, record_itr=write_outputs,
+    )
+
+    if write_outputs:
+        base = os.path.join(deck_dir, runname)
+        out_mod.write_mre(base + ".mre", setup, res)
+        out_mod.write_cov(base + ".cov", setup, res)
+        out_mod.write_raw(base + ".raw", setup, res, setup.deck.atmosphere)
+        if res.itr_records:
+            out_mod.write_itr(base + ".itr", setup, res.itr_records)
+    return res
