@@ -34,6 +34,55 @@ def _scalar(f, name, cast=int, default=None):
     return cast(np.asarray(f[name][()]).item())
 
 
+def _read_atmosphere_group(a) -> Atmosphere:
+    """One Atmosphere group (reference Atmosphere_0.read_hdf5:490) —
+    shared by the main deck and the nested Telluric/Atmosphere."""
+    h = a["H"][()].astype(float)
+    p = a["P"][()].astype(float)
+    t = a["T"][()].astype(float)
+    vmr = a["VMR"][()].astype(float)
+    dust = (
+        a["DUST"][()].astype(float)
+        if "DUST" in a
+        else np.zeros((h.shape[0], 0))
+    )
+    gas_id = tuple(int(x) for x in a["ID"][()])
+    iso_id = tuple(int(x) for x in a["ISO"][()])
+    amform = AtmosphericProfileFormat(_scalar(a, "AMFORM", default=1))
+    planet = _scalar(a, "IPLANET")
+    lat = _scalar(a, "LATITUDE", float, 0.0)
+
+    masses = gas_molwt_per_column(gas_id, iso_id)
+    molwt = np.asarray(calc_molwt(vmr, masses))
+    grav, radius = calc_grav(h, lat, planet)
+    return Atmosphere(
+        h=h, p=p, t=t, vmr=vmr, dust=dust,
+        parah2=np.zeros_like(h), molwt=molwt,
+        radius=np.asarray(radius), latitude=np.asarray(float(lat)),
+        gas_id=gas_id, iso_id=iso_id, planet=planet, amform=amform,
+    )
+
+
+def _read_tables(sp, base_dir):
+    """Spectroscopy group -> KTables/LBL tables (path-resolved)."""
+    ilbl = SpectralCalculationMode(_scalar(sp, "ILBL"))
+    locations = [
+        x.decode() if isinstance(x, bytes) else str(x)
+        for x in sp["LOCATION"][()]
+    ]
+    tables = []
+    for loc in locations:
+        tp = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
+        if ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
+            tables.append(read_lta(tp))
+        else:
+            tables.append(read_kta(tp))
+    return (
+        KTables.from_tables(tables, ilbl=ilbl) if tables else None,
+        ilbl,
+    )
+
+
 def load_deck_hdf5(path: str) -> Deck:
     """Load a ``runname.h5`` run into framework pytrees."""
     import h5py
@@ -42,31 +91,7 @@ def load_deck_hdf5(path: str) -> Deck:
 
     with h5py.File(path, "r") as f:
         # --- Atmosphere (reference Atmosphere_0.read_hdf5:490)
-        a = f["Atmosphere"]
-        h = a["H"][()].astype(float)
-        p = a["P"][()].astype(float)
-        t = a["T"][()].astype(float)
-        vmr = a["VMR"][()].astype(float)
-        dust = (
-            a["DUST"][()].astype(float)
-            if "DUST" in a
-            else np.zeros((h.shape[0], 0))
-        )
-        gas_id = tuple(int(x) for x in a["ID"][()])
-        iso_id = tuple(int(x) for x in a["ISO"][()])
-        amform = AtmosphericProfileFormat(_scalar(a, "AMFORM"))
-        planet = _scalar(a, "IPLANET")
-        lat = _scalar(a, "LATITUDE", float, 0.0)
-
-        masses = gas_molwt_per_column(gas_id, iso_id)
-        molwt = np.asarray(calc_molwt(vmr, masses))
-        grav, radius = calc_grav(h, lat, planet)
-        atm = Atmosphere(
-            h=h, p=p, t=t, vmr=vmr, dust=dust,
-            parah2=np.zeros_like(h), molwt=molwt,
-            radius=np.asarray(radius), latitude=np.asarray(float(lat)),
-            gas_id=gas_id, iso_id=iso_id, planet=planet, amform=amform,
-        )
+        atm = _read_atmosphere_group(f["Atmosphere"])
 
         # --- Layer
         ly = f["Layer"]
@@ -112,12 +137,23 @@ def load_deck_hdf5(path: str) -> Deck:
         v_doppler = _scalar(m, "V_DOPPLER", float, 0.0)
 
         # --- Spectroscopy
-        sp = f["Spectroscopy"]
-        ilbl = SpectralCalculationMode(_scalar(sp, "ILBL"))
-        locations = [
-            x.decode() if isinstance(x, bytes) else str(x)
-            for x in sp["LOCATION"][()]
-        ]
+        ktab, ilbl = _read_tables(f["Spectroscopy"], base_dir)
+
+        # --- Telluric (reference Telluric_0.read_hdf5:141: /Telluric group
+        # with a nested Atmosphere + Spectroscopy)
+        telluric = None
+        if "Telluric" in f:
+            from archnemesis_tpu.rt.telluric import Telluric
+
+            tg = f["Telluric"]
+            tel_atm = _read_atmosphere_group(tg["Atmosphere"])
+            tel_ktab, _ = _read_tables(tg["Spectroscopy"], base_dir)
+            telluric = Telluric(
+                atm=tel_atm,
+                ktables=tel_ktab,
+                altitude=_scalar(tg, "ALTITUDE", float, 0.0),
+                emiss_ang=_scalar(tg, "EMISS_ANG", float, 180.0),
+            )
 
         # --- Scatter / Surface / Retrieval
         sc = f["Scatter"] if "Scatter" in f else None
@@ -157,16 +193,6 @@ def load_deck_hdf5(path: str) -> Deck:
         niter = _scalar(rt, "NITER", default=0) if rt is not None else 0
         philimit = _scalar(rt, "PHILIMIT", float, 0.1) if rt is not None else 0.1
 
-    # spectroscopy tables (paths relative to the h5 file's directory)
-    tables = []
-    for loc in locations:
-        tp = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
-        if ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
-            tables.append(read_lta(tp))
-        else:
-            tables.append(read_kta(tp))
-    ktab = KTables.from_tables(tables, ilbl=ilbl) if tables else None
-
     settings = RunSettings(
         ispace=WaveUnit(ispace), iscat=iscat, ilbl=ilbl,
         iform=SpectraUnit(iform), woff=woff, niter=niter, philimit=philimit,
@@ -178,5 +204,5 @@ def load_deck_hdf5(path: str) -> Deck:
     return Deck(
         atmosphere=atm, layer_config=laycfg, geometry=geom,
         settings=settings, ktables=ktab, cia=None, aerosol=aero,
-        surface=surf, stellar=None, apr_path=None,
+        surface=surf, stellar=None, apr_path=None, telluric=telluric,
     )

@@ -102,6 +102,7 @@ class Deck:
     stellar: Optional[StellarSpec] = None
     apr_path: Optional[str] = None
     hgphase: Optional[tuple] = None  # (wave, f, g1, g2) from hgphaseN.dat
+    telluric: Optional[object] = None  # rt.telluric.Telluric (HDF5 runs)
 
 
 def _skip_comments(path):

@@ -269,3 +269,46 @@ class Model444:
             kext=jnp.asarray(aero.kext).at[:, idust].set(kextx),
             ksca=jnp.asarray(aero.ksca).at[:, idust].set(kscax),
         )
+
+
+@register_model
+class Model202:
+    """Constant scaling of a telluric atmospheric profile (reference
+    model_202.py): varident[0]==0 scales the Earth temperature profile,
+    varident[0]>0 scales the VMR of gas (varident[0], varident[1])."""
+
+    id = 202
+    domain = "telluric"
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        t = f.readline().rsplit("!", 1)[0].split()
+        x0, err = float(t[0]), float(t[1])
+        return AprParseResult(
+            entry=_entry(varident, 202, ix, 1),
+            x0=np.array([x0]),
+            sx_diag=np.array([err**2]),
+            lx=np.zeros(1, dtype=int),
+            inum=np.ones(1, dtype=int),
+        )
+
+    @staticmethod
+    def apply_telluric(entry, tel, x, **_kw):
+        if tel is None:
+            return tel
+        varid1, varid2 = entry.varident[0], entry.varident[1]
+        atm = tel.atm
+        if varid1 == 0:
+            return tel.replace(atm=atm.replace(t=jnp.asarray(atm.t) * x[0]))
+        jvmr = None
+        for j, (g, s) in enumerate(zip(atm.gas_id, atm.iso_id)):
+            if g == varid1 and s == varid2:
+                jvmr = j
+        if jvmr is None:
+            raise ValueError(
+                f"model 202: gas {varid1}/{varid2} not in telluric atmosphere"
+            )
+        vmr = jnp.asarray(atm.vmr)
+        return tel.replace(
+            atm=atm.replace(vmr=vmr.at[:, jvmr].multiply(x[0]))
+        )

@@ -140,6 +140,11 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                 else (1.0e4 / float(tw.max()), 1.0e4 / float(tw.min()))
             )
             cia = apply_domain(sv, xn, "cia", cia, wave_range=vr)
+        telluric = (
+            apply_domain(sv, xn, "telluric", deck.telluric)
+            if deck.telluric is not None
+            else None
+        )
         out = []
         for ig, vconv, ktw, ils_w in geoms:
             nav = geom.nav[ig]
@@ -188,6 +193,13 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
             # WITHOUT dividing by the weight total (nemesisfm
             # ForwardModel_0.py:530-535; FOV weights are pre-normalised)
             spec_avg = spec_sum
+            if telluric is not None:
+                from archnemesis_tpu.rt.telluric import apply_telluric
+
+                spec_avg = apply_telluric(
+                    telluric, jnp.asarray(ktw.wave), spec_avg,
+                    v_doppler=st.v_doppler, ispace=st.ispace,
+                )
             if ils_w is None:
                 conv = conv_channel_interp(
                     ktw.wave, spec_avg, jnp.asarray(vconv)

@@ -1,0 +1,136 @@
+"""Telluric transmission vs the reference Telluric_0.calc_transmission
+(Telluric_0.py:398) on a synthetic Earth atmosphere with in-memory
+k-tables."""
+
+import importlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archnemesis_tpu.core.spectra import KTables
+from archnemesis_tpu.core.types import Atmosphere
+from archnemesis_tpu.rt.telluric import Telluric, apply_telluric, telluric_transmission
+
+NP_ = 25
+ALTITUDE = 4207.3
+EMISS = 160.0
+
+
+def _earth_profiles():
+    h = np.linspace(0.0, 8.0e4, NP_)
+    p = 101325.0 * np.exp(-h / 7.5e3)
+    t = 288.0 - 6.5e-3 * np.clip(h, 0, 1.2e4) + 2.0e-4 * np.clip(h - 1.2e4, 0, None)
+    vmr = np.stack(
+        [1e-2 * np.exp(-h / 2.0e3), np.full(NP_, 4.0e-4)], axis=1
+    )  # H2O, CO2
+    return h, p, t, vmr
+
+
+def _ktab(wave, press_grid, temp_grid, ng=10):
+    rng = np.random.default_rng(4)
+    x, w = np.polynomial.legendre.leggauss(ng)
+    g_ord, del_g = 0.5 * (x + 1), 0.5 * w
+    band = 0.05 + np.exp(
+        -0.5 * ((wave[:, None] - rng.uniform(wave[0], wave[-1], 5)) / 15.0) ** 2
+    ).sum(1)
+    k = (
+        5e-22
+        * band[None, :, None, None, None]
+        * np.exp(2.0 * (g_ord - 0.6))[None, None, :, None, None]
+        * (press_grid / press_grid.max())[None, None, None, :, None] ** 0.1
+        * (temp_grid / 250.0)[None, None, None, None, :] ** -0.4
+        * np.array([1.0, 0.3])[:, None, None, None, None]
+    )
+    return g_ord, del_g, k
+
+
+@pytest.fixture(scope="module")
+def case():
+    h, p, t, vmr = _earth_profiles()
+    wave = np.linspace(2000.0, 2100.0, 120)
+    press_grid = np.logspace(-6, 0.1, 12)  # atm
+    temp_grid = np.linspace(150.0, 320.0, 8)
+    g_ord, del_g, k = _ktab(wave, press_grid, temp_grid)
+    return h, p, t, vmr, wave, press_grid, temp_grid, g_ord, del_g, k
+
+
+@pytest.fixture(scope="module")
+def ref_trans(case):
+    from tools.refutils import import_reference
+
+    ans = import_reference()
+    h, p, t, vmr, wave, press_grid, temp_grid, g_ord, del_g, k = case
+
+    atm = ans.Atmosphere_0()
+    atm.NP = NP_
+    atm.NVMR = 2
+    atm.ID = np.array([1, 2])
+    atm.ISO = np.array([0, 0])
+    atm.IPLANET = 3
+    atm.LATITUDE = 19.8
+    atm.edit_H(h)
+    atm.edit_P(p)
+    atm.edit_T(t)
+    atm.edit_VMR(vmr)
+    atm.RADIUS = 6.371e6
+    atm.PARAH2 = None
+    atm.DUST = np.zeros((NP_, 0))
+
+    spec = ans.Spectroscopy_0(RUNNAME="")
+    spec.ILBL = ans.enum.SpectralCalculationModeEnum.K_TABLES
+    spec.NGAS = 2
+    spec.ID = np.array([1, 2])
+    spec.ISO = np.array([0, 0])
+    spec.NWAVE = wave.size
+    spec.WAVE = wave.copy()
+    spec.ISPACE = ans.enum.WaveUnitEnum.Wavenumber_cm
+    spec.NG = g_ord.size
+    spec.G_ORD = g_ord.copy()
+    spec.DELG = del_g.copy()
+    spec.NP = press_grid.size
+    spec.NT = temp_grid.size
+    spec.PRESS = press_grid.copy()
+    spec.TEMP = temp_grid.copy()
+    spec.K = np.transpose(k, (1, 2, 3, 4, 0)).copy()  # (NWAVE,NG,NP,NT,NGAS)
+    spec.ON_GRID = True
+
+    tel = ans.Telluric_0(ALTITUDE=ALTITUDE, EMISS_ANG=EMISS)
+    tel.Atmosphere = atm
+    tel.Spectroscopy = spec
+    wave_out, trans = tel.calc_transmission()
+    return np.asarray(wave_out), np.asarray(trans)
+
+
+def test_transmission_matches_reference(case, ref_trans):
+    h, p, t, vmr, wave, press_grid, temp_grid, g_ord, del_g, k = case
+    wave_ref, trans_ref = ref_trans
+
+    atm = Atmosphere(
+        h=h, p=p, t=t, vmr=vmr, dust=np.zeros((NP_, 0)),
+        parah2=np.zeros(NP_), molwt=np.full(NP_, 28.96e-3),
+        radius=np.asarray(6.371e6), latitude=np.asarray(19.8),
+        gas_id=(1, 2), iso_id=(0, 0), planet=3,
+    )
+    ktab = KTables(
+        wave=wave, g_ord=g_ord, del_g=del_g,
+        press=press_grid, temp=temp_grid, k=k,
+        gas_id=(1, 2), iso_id=(0, 0),
+    )
+    tel = Telluric(
+        atm=atm, ktables=ktab,
+        altitude=ALTITUDE, emiss_ang=EMISS,
+    )
+    wave_out, trans = telluric_transmission(tel)
+    np.testing.assert_allclose(np.asarray(wave_out), wave_ref, rtol=1e-12)
+    assert float(np.min(trans_ref)) < 0.95  # the band actually absorbs
+    np.testing.assert_allclose(
+        np.asarray(trans), trans_ref, rtol=0, atol=2e-6
+    )
+
+    # application with Doppler shift: planetary grid shifted, telluric not
+    spec_in = jnp.ones(wave.size)
+    out = apply_telluric(tel, jnp.asarray(wave), spec_in, v_doppler=10.0)
+    expect = np.interp(wave * (1.0 - 10.0e3 / 299792458.0),
+                       np.asarray(wave_out), np.asarray(trans))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=0, atol=2e-6)
