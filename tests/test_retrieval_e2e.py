@@ -114,3 +114,91 @@ def test_oe_loop_converges_nonlinear_toy():
     assert res.phi < 1e-2 * res.phi_history[0]
     np.testing.assert_allclose(res.xn, x_true, atol=0.05)
     assert res.st.shape == (nx, nx)
+
+
+def test_output_writers_reference_readable():
+    """Write .mre/.cov/.raw/.itr via retrieval_nemesis and parse them back
+    with the REFERENCE readers (Files.read_mre:594, OptimalEstimation_0.
+    read_cov via Files.read_cov:760, Files.read_pre:1623) — the written
+    formats must be byte-compatible with the legacy NEMESIS layout. Then
+    chain a LIN=2 retrieval from the written .raw renamed to .pre."""
+    import os
+    import shutil
+
+    from tools.refutils import import_reference
+
+    ans = import_reference()
+    from archnemesis_tpu.retrieval.output import read_raw
+    from archnemesis_tpu.retrievals import retrieval_nemesis
+
+    base = os.path.join(DECK, "cirstest")
+    created = [base + ext for ext in (".mre", ".cov", ".raw", ".itr", ".pre")]
+    try:
+        # niter=0: the OE loop still produces yn/K/gain/covariances at the
+        # a-priori — enough to exercise every writer (a jacfwd eval costs
+        # ~3 min of CPU here, so keep the iteration count minimal)
+        res = retrieval_nemesis(DECK, "cirstest", niter=0, write_outputs=True)
+        assert os.path.exists(base + ".mre")
+
+        # --- .mre through the reference reader (xfac=1e9 for radiance/cm-1)
+        (lat, lon, ngeom, ny, wave, specret, specmeas, specerrmeas, nx, var,
+         aprprof, aprerr, retprof, reterr) = ans.Files.read_mre(base)
+        assert ngeom == 1 and nx == res.xn.size
+        np.testing.assert_allclose(specret[:, 0], res.yn * 1.0e9, rtol=1e-6)
+
+        # --- .cov through the reference reader
+        (npro, nvar, varident, varparam, nxc, nyc, sa, sm, sn, st, se, aa,
+         dd, kk) = ans.Files.read_cov(base)
+        assert (nxc, nyc) == (res.xn.size, res.yn.size)
+        np.testing.assert_allclose(st, res.st, rtol=1e-6)
+        np.testing.assert_allclose(aa, res.aa, rtol=0, atol=1e-6 * np.abs(res.aa).max())
+        np.testing.assert_allclose(kk, res.kk, rtol=0, atol=1e-6 * np.abs(res.kk).max())
+
+        # --- .raw: our round-trip AND the reference read_pre
+        prev = read_raw(base + ".raw")
+        np.testing.assert_allclose(prev["xn"], res.xn, rtol=1e-7)
+        np.testing.assert_allclose(prev["st"], res.st, rtol=1e-6)
+        shutil.copy(base + ".raw", base + ".pre")
+        var_prev = ans.Files.read_pre(base)
+        np.testing.assert_allclose(var_prev.XN, res.xn, rtol=1e-7)
+
+        # --- LIN=2 chaining: previous posterior becomes the new a-priori
+        res2 = retrieval_nemesis(
+            DECK, "cirstest", lin=2, niter=0, write_outputs=False
+        )
+        np.testing.assert_allclose(res2.xn, res.xn, rtol=1e-10)
+    finally:
+        for p in created:
+            if os.path.exists(p):
+                os.remove(p)
+
+
+def test_itr_writer_format(tmp_path, setup):
+    """.itr layout (reference coreretOE OptimalEstimation_0.py:1310-1396)
+    checked on synthetic records: header + per-record chisq/phi, XN1, XA,
+    Y, SE diag, YN1, YN, column-major KK."""
+    from archnemesis_tpu.retrieval.output import write_itr
+
+    _, s = setup
+    nx, ny = s.sv.nx, s.y.shape[0]
+    rng = np.random.default_rng(0)
+    rec = dict(
+        chisq=1.5, phi=2.5,
+        xn1=rng.normal(size=nx), yn1=rng.normal(size=ny),
+        yn=rng.normal(size=ny), kk=rng.normal(size=(ny, nx)),
+    )
+    path = tmp_path / "t.itr"
+    write_itr(str(path), s, [rec])
+    lines = path.read_text().splitlines()
+    hdr = lines[0].split()
+    assert [int(v) for v in hdr] == [nx, ny, 1]
+    chisq, phi = (float(v) for v in lines[1].split())
+    assert np.isclose(chisq, 1.5) and np.isclose(phi, 2.5)
+    body = np.array([float(v) for v in lines[2:]])
+    assert body.size == 2 * nx + 4 * ny + nx * ny
+    np.testing.assert_allclose(body[:nx], rec["xn1"], rtol=5e-4)
+    np.testing.assert_allclose(body[nx : 2 * nx], s.sv.xa, rtol=5e-4)
+    kk_flat = body[2 * nx + 4 * ny :]
+    kk_back = kk_flat.reshape(nx, ny).T  # written column-major
+    np.testing.assert_allclose(kk_back, rec["kk"], rtol=5e-4)
+
