@@ -129,6 +129,20 @@ def layer_line_params(ll: LineList, t_calc, p_calc, amb_frac):
     return strength, alpha_d, gamma_l, shift
 
 
+def _pallas_default() -> bool:
+    """Use the Pallas kernel when running on real TPU hardware (overridable
+    via ARCHNEMESIS_TPU_LBL_PALLAS=0/1)."""
+    import os
+
+    flag = os.environ.get("ARCHNEMESIS_TPU_LBL_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing
+        return False
+
+
 def lbl_cross_section(
     ll: LineList,
     blocks: LblBlocks,
@@ -141,11 +155,27 @@ def lbl_cross_section(
     wn_approx_window: float = 75.0,
     include_pressure_shift: bool = True,
     factor: float | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Absorption cross-section k(NWAVE, NLAY) [cm^2 molecule^-1].
 
     t_calc (K), p_calc (atm), amb_frac: (NLAY,).
+
+    Dispatches to the Pallas TPU kernel (ops/lbl_pallas.py) on TPU backends;
+    the XLA panel implementation below is the portable path and the tangent
+    rule for the kernel's custom JVP.
     """
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if use_pallas:
+        from archnemesis_tpu.ops.lbl_pallas import lbl_cross_section_pallas
+
+        return lbl_cross_section_pallas(
+            ll, blocks, t_calc, p_calc, amb_frac, lineshape=lineshape,
+            s_floor=s_floor, wn_calc_window=wn_calc_window,
+            wn_approx_window=wn_approx_window,
+            include_pressure_shift=include_pressure_shift, factor=factor,
+        )
     fn = {
         "voigt": voigt_mod.voigt,
         "gaussian": voigt_mod.gaussian,
