@@ -10,6 +10,7 @@ read_xsc; CIA_0.py:323 read_cia).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from dataclasses import dataclass, field
 from typing import Optional
@@ -61,6 +62,11 @@ class Geometry:
     wgeom: np.ndarray
     tanhe: Optional[np.ndarray] = None
     woff: float = 0.0
+    # per-channel tabulated filter functions (.fil, FWHM<0;
+    # reference Measurement_0.read_fil:1072)
+    nfil: Optional[np.ndarray] = None  # (NCONV,)
+    vfil: Optional[np.ndarray] = None  # (NFILMAX, NCONV)
+    afil: Optional[np.ndarray] = None  # (NFILMAX, NCONV)
 
 
 @dataclass
@@ -259,6 +265,36 @@ def read_hgphase(ndust: int, directory: str = "."):
     return wave, np.stack(fr, 1), np.stack(g1, 1), np.stack(g2, 1)
 
 
+def read_fil(path):
+    """.fil per-channel instrument filter functions (reference
+    Measurement_0.read_fil:1072): NCONV, then per channel the centre
+    wavenumber, NFIL and (v, a) samples. Returns (nfil (NC,), vfil, afil
+    (NFILMAX, NC)) padded to the longest filter."""
+    toks = open(path).read().split()
+    it = iter(toks)
+    nconv = int(next(it))
+    nfil = np.zeros(nconv, dtype=np.int64)
+    cols_v, cols_a = [], []
+    for i in range(nconv):
+        next(it)  # channel centre wavenumber (redundant with .spx)
+        n = int(next(it))
+        nfil[i] = n
+        v = np.empty(n)
+        a = np.empty(n)
+        for j in range(n):
+            v[j] = float(next(it))
+            a[j] = float(next(it))
+        cols_v.append(v)
+        cols_a.append(a)
+    m = int(nfil.max())
+    vfil = np.zeros((m, nconv))
+    afil = np.zeros((m, nconv))
+    for i in range(nconv):
+        vfil[: nfil[i], i] = cols_v[i]
+        afil[: nfil[i], i] = cols_a[i]
+    return nfil, vfil, afil
+
+
 def read_spx(path, woff=0.0) -> Geometry:
     with open(path) as f:
         toks = f.read().split()
@@ -385,6 +421,14 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
             atm = read_parah2_ref("parah2.ref", atm)
 
         geom = read_spx(runname + ".spx", woff=woff)
+        if geom.fwhm < 0.0 and os.path.exists(runname + ".fil"):
+            nfil, vfil, afil = read_fil(runname + ".fil")
+            if nfil.shape[0] != int(geom.nconv[0]):
+                raise ValueError(
+                    ".fil and .spx channel counts disagree "
+                    f"({nfil.shape[0]} vs {int(geom.nconv[0])})"
+                )
+            geom = dataclasses.replace(geom, nfil=nfil, vfil=vfil, afil=afil)
 
         ktab = None
         if ilbl == SpectralCalculationMode.K_TABLES and os.path.exists(

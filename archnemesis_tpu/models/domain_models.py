@@ -385,3 +385,188 @@ class Model447:
         out = dict(meas_state)
         out["v_doppler"] = x[0]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Instrument-lineshape calibration models (ACS-MIR double Gaussian).
+#
+# Domain "ils": apply_ils(entry, igeom, vconv, x) -> (vconv', offset, fwhm,
+# amp) with per-channel (NC, 2) Gaussian parameters, consumed by
+# ops.convolution.double_gauss_ils_weights inside the differentiable forward
+# function (the reference instead mutates Measurement.NFIL/VFIL/AFIL from
+# subprofretg, model_228/229/230.py).
+# ---------------------------------------------------------------------------
+
+
+def _double_gauss_params(vconv, offset_main, deldg, fwhm_at_min, amp_lo,
+                         amp_hi, wavemin, wavemax):
+    """Shared tail of models 228-230: per-channel (NC, 2) offset/fwhm/amp.
+
+    FWHM constant in wavelength units -> quadratic in wavenumber
+    (model_229.py:127-132); second-Gaussian amplitude linear in wavenumber
+    (model_229.py:134-139)."""
+    offset = jnp.stack([offset_main, offset_main + deldg], axis=1)
+    fwhm0 = (fwhm_at_min / wavemin**2) * vconv**2
+    fwhm = jnp.stack([fwhm0, fwhm0], axis=1)
+    ampgrad = (amp_hi - amp_lo) / (wavemax - wavemin)
+    amp1 = (vconv - wavemin) * ampgrad + amp_lo
+    amp = jnp.stack([jnp.ones_like(amp1), amp1], axis=1)
+    return offset, fwhm, amp
+
+
+@register_model
+class Model228:
+    """Wavelength calibration + double-Gaussian ILS for ACS MIR solar
+    occultation (reference model_228.py): V0, dV = C0 + C1*i + C2*i^2
+    rebuild VCONV; P0..P3 define the two Gaussians."""
+
+    id = 228
+    domain = "ils"
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        vals, errs = [], []
+        for _ in range(8):  # V0 C0 C1 C2 P0 P1 P2 P3
+            v, e = _two(f)
+            vals.append(v)
+            errs.append(e)
+        return AprParseResult(
+            entry=_entry(varident, 228, ix, 8),
+            x0=np.array(vals),
+            sx_diag=np.array(errs) ** 2,
+            lx=np.zeros(8, dtype=int),
+            inum=np.ones(8, dtype=int),
+        )
+
+    @staticmethod
+    def apply_ils(entry, igeom, vconv, x):
+        v0, c0, c1, c2, p0, p1, p2, p3 = (x[i] for i in range(8))
+        nconv = vconv.shape[0]
+        i = jnp.arange(nconv - 1)
+        dv = c0 + c1 * i + c2 * i**2
+        vconv1 = v0 + jnp.concatenate(
+            [jnp.zeros(1, dv.dtype), jnp.cumsum(dv)]
+        )
+        wavemin, wavemax = vconv1[0], vconv1[-1]
+        offset_main = jnp.zeros_like(vconv1)
+        off, fwhm, amp = _double_gauss_params(
+            vconv1, offset_main, p0, p1, p2, p3, wavemin, wavemax
+        )
+        return vconv1, off, fwhm, amp
+
+
+@register_model
+class Model229:
+    """Double-Gaussian ILS for ACS MIR (reference model_229.py): piecewise-
+    linear main-Gaussian offset (A0 at wavemin, A1 at mid, A2 at wavemax),
+    constant second-Gaussian offset DELDG, FWHM quadratic in wavenumber,
+    linear relative amplitude."""
+
+    id = 229
+    domain = "ils"
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        vals, errs = [], []
+        for _ in range(7):
+            v, e = _two(f)
+            vals.append(v)
+            errs.append(e)
+        return AprParseResult(
+            entry=_entry(varident, 229, ix, 7),
+            x0=np.array(vals),
+            sx_diag=np.array(errs) ** 2,
+            lx=np.zeros(7, dtype=int),
+            inum=np.zeros(7, dtype=int),
+        )
+
+    @staticmethod
+    def apply_ils(entry, igeom, vconv, x):
+        a0, a1, a2, deldg, fw, amp_lo, amp_hi = (x[i] for i in range(7))
+        nconv = vconv.shape[0]
+        imid = nconv // 2
+        wavemin, wavemax = vconv[0], vconv[-1]
+        wavemid = vconv[imid]
+        grad1 = (a1 - a0) / (wavemid - wavemin)
+        grad2 = (a1 - a2) / (wavemid - wavemax)
+        off_lo = (vconv - wavemin) * grad1 + a0
+        off_hi = (vconv - wavemax) * grad2 + a2
+        offset_main = jnp.where(jnp.arange(nconv) < imid, off_lo, off_hi)
+        off, fwhm, amp = _double_gauss_params(
+            vconv, offset_main, deldg, fw, amp_lo, amp_hi, wavemin, wavemax
+        )
+        return vconv, off, fwhm, amp
+
+
+@register_model
+class Model230:
+    """Windowed double-Gaussian ILS for ACS MIR (reference model_230.py):
+    model-229 parameters fitted independently in NWINDOWS spectral windows
+    given by static (liml, limh) bounds read from an auxiliary file."""
+
+    id = 230
+    domain = "ils"
+
+    @staticmethod
+    def from_apr(f, varident, ix, ctx) -> AprParseResult:
+        aux = f.readline().split()[0]
+        toks = open(aux).read().split()
+        it = iter(toks)
+        nwin = int(next(it))
+        lims = []
+        for _ in range(nwin):
+            lims.append((float(next(it)), float(next(it))))
+        vals, errs = [], []
+        for _ in range(nwin):
+            for _ in range(7):
+                vals.append(float(next(it)))
+                errs.append(float(next(it)))
+        return AprParseResult(
+            entry=_entry(varident, 230, ix, 7 * nwin,
+                         extra=(nwin, tuple(lims))),
+            x0=np.array(vals),
+            sx_diag=np.array(errs) ** 2,
+            lx=np.zeros(7 * nwin, dtype=int),
+            inum=np.zeros(7 * nwin, dtype=int),
+        )
+
+    @staticmethod
+    def apply_ils(entry, igeom, vconv, x):
+        nwin, lims = entry.extra
+        v_np = np.asarray(vconv)  # measured grid is static (only 228 moves it)
+        nconv = v_np.shape[0]
+        vconv = jnp.asarray(vconv)
+        offset_main = jnp.zeros(nconv, dtype=vconv.dtype)
+        deldg = jnp.zeros(nconv, dtype=vconv.dtype)
+        fw = jnp.zeros(nconv, dtype=vconv.dtype)
+        amp1 = jnp.zeros(nconv, dtype=vconv.dtype)
+        for iw in range(nwin):
+            lo, hi = lims[iw]
+            sel = np.where((v_np >= lo) & (v_np < hi))[0]
+            if sel.size == 0:
+                continue
+            inwin = jnp.asarray((v_np >= lo) & (v_np < hi))
+            a0, a1, a2, dd, f5, p6, p7 = (x[7 * iw + i] for i in range(7))
+            # window-local piecewise-linear offset split at the window's
+            # middle channel (model_230.py iconvmid = nconv1/2)
+            wavemin = float(v_np[sel[0]])
+            wavemax = float(v_np[sel[-1]])
+            wavemid = float(v_np[sel[sel.size // 2]])
+            grad1 = (a1 - a0) / (wavemid - wavemin)
+            grad2 = (a1 - a2) / (wavemid - wavemax)
+            below = jnp.asarray(v_np < wavemid)
+            off_w = jnp.where(
+                below,
+                (vconv - wavemin) * grad1 + a0,
+                (vconv - wavemax) * grad2 + a2,
+            )
+            ampgrad = (p7 - p6) / (wavemax - wavemin)
+            amp_w = (vconv - wavemin) * ampgrad + p6
+            offset_main = jnp.where(inwin, off_w, offset_main)
+            deldg = jnp.where(inwin, dd, deldg)
+            fw = jnp.where(inwin, (f5 / wavemin**2) * vconv**2, fw)
+            amp1 = jnp.where(inwin, amp_w, amp1)
+        offset = jnp.stack([offset_main, offset_main + deldg], axis=1)
+        fwhm = jnp.stack([fw, fw], axis=1)
+        amp = jnp.stack([jnp.ones_like(amp1), amp1], axis=1)
+        return vconv, offset, fwhm, amp

@@ -185,6 +185,27 @@ def apply_domain(sv: StateVector, xn, domain: str, obj, **kw):
     return obj
 
 
+def ils_models_present(sv: StateVector) -> bool:
+    return any(
+        getattr(MODEL_REGISTRY[e.model_id], "domain", "") == "ils"
+        for e in sv.entries
+    )
+
+
+def apply_ils_models(sv: StateVector, xn, igeom: int, vconv):
+    """Differentiable instrument-lineshape parameterisations (models
+    228/229/230): returns (vconv', offset, fwhm, amp) per-channel double-
+    Gaussian parameters from the last ils-domain model, or None."""
+    x = _unlog(sv, xn)
+    out = None
+    for e in sv.entries:
+        model = MODEL_REGISTRY[e.model_id]
+        if getattr(model, "domain", "atmosphere") != "ils":
+            continue
+        out = model.apply_ils(e, igeom, vconv, x[e.ix : e.ix + e.nx])
+    return out
+
+
 def apply_spectrum_models(sv: StateVector, xn, igeom: int, vconv, spec):
     """PostRT spectral corrections on one geometry's convolved spectrum
     (reference subspecret ForwardModel_0.py:2570)."""

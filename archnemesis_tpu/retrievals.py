@@ -20,13 +20,21 @@ from archnemesis_tpu.enums import ScatteringCalculationMode, SpectraUnit
 from archnemesis_tpu.forward import forward_limb, forward_nadir, make_forward_config
 from archnemesis_tpu.io.ktables import read_kls, read_lls
 from archnemesis_tpu.io.legacy import Deck, load_deck
-from archnemesis_tpu.ops.convolution import conv_channel_interp, ils_weights_lbl, apply_ils
+from archnemesis_tpu.ops.convolution import (
+    apply_ils,
+    conv_channel_interp,
+    double_gauss_ils_weights,
+    ils_weights_filter,
+    ils_weights_lbl,
+)
 from archnemesis_tpu.retrieval.oe import OEResult, coreret_oe
 from archnemesis_tpu.retrieval.statevector import (
     StateVector,
     apply_domain,
+    apply_ils_models,
     apply_spectrum_models,
     apply_state,
+    ils_models_present,
     read_apr,
 )
 
@@ -99,15 +107,40 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
             wavemin, wavemax = vconv[0] - dv, vconv[-1] + dv
             ils_w = True
         else:
-            raise NotImplementedError(".fil channel integration not wired yet")
+            # FWHM<0: per-channel filters — tabulated (.fil) or the
+            # differentiable double-Gaussian ILS models 228/229/230
+            # (reference calc_wave_range Measurement_0.py:2090-2105)
+            if ils_models_present(sv):
+                vc_a, off_a, fw_a, amp_a = (
+                    np.asarray(v)
+                    for v in apply_ils_models(sv, sv.xa, ig, jnp.asarray(vconv))
+                )
+                half = 2.5 * fw_a.max() + np.abs(off_a).max()
+                wavemin = vc_a.min() - 1.5 * half
+                wavemax = vc_a.max() + 1.5 * half
+                ils_w = "dynamic"
+            elif geom.nfil is not None:
+                wavemin = geom.vfil[0, :].min()
+                wavemax = max(
+                    geom.vfil[geom.nfil[j] - 1, j]
+                    for j in range(geom.nfil.shape[0])
+                )
+                ils_w = "filter"
+            else:
+                raise ValueError("FWHM<0 requires a .fil file or an ILS model")
         if isinstance(deck.ktables, RuntimeLBL):
             ktw = deck.ktables.windowed(wavemin, wavemax)
         else:
             ktw = _windowed_ktab(deck, wavemin, wavemax)
-        if ils_w is not None:
+        if ils_w is True:
             ils_w = jnp.asarray(ils_weights_lbl(
                 np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm,
                 InstrumentLineshape(st.ishape),
+            ))
+        elif isinstance(ils_w, str) and ils_w == "filter":
+            ils_w = jnp.asarray(ils_weights_filter(
+                np.asarray(ktw.wave), np.asarray(vconv),
+                geom.nfil, geom.vfil, geom.afil,
             ))
         geoms.append((ig, vconv, ktw, ils_w))
 
@@ -200,13 +233,23 @@ def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
                     telluric, jnp.asarray(ktw.wave), spec_avg,
                     v_doppler=st.v_doppler, ispace=st.ispace,
                 )
+            vconv_out = vconv
             if ils_w is None:
                 conv = conv_channel_interp(
                     ktw.wave, spec_avg, jnp.asarray(vconv)
                 )
+            elif isinstance(ils_w, str) and ils_w == "dynamic":
+                vconv_d, off, fw, amp = apply_ils_models(
+                    sv, xn, ig, jnp.asarray(vconv)
+                )
+                w = double_gauss_ils_weights(
+                    jnp.asarray(ktw.wave), vconv_d, off, fw, amp
+                )
+                conv = apply_ils(w, spec_avg)
+                vconv_out = vconv_d
             else:
                 conv = apply_ils(ils_w, spec_avg)
-            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+            out.append(apply_spectrum_models(sv, xn, ig, vconv_out, conv))
         return jnp.concatenate(out)
 
     return RetrievalSetup(
