@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -486,6 +487,83 @@ def forward_so(
         return specmod, {"layers": layers, "paths": paths, **taus,
                          "spec_paths": spec}
     return specmod
+
+
+def forward_transit(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    cfg: ForwardConfig,
+    stellar_radius_km,
+    return_diagnostics: bool = False,
+):
+    """Primary-transit depth spectrum (reference nemesisPTfm
+    ForwardModel_0.py:1838 + calc_path_PT :3697).
+
+    Limb transmission paths through every layer base (LAYANG=90), computed
+    in ONE batched opacity evaluation; the effective absorbing area is the
+    trapezoid integral of (1 - T) * 2*pi*(R + h) over tangent height, and
+    the transit depth is 100 * (A_abs + A_disk) / A_star.
+    """
+    from archnemesis_tpu.rt.path import limb_paths
+
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=90.0), atm)
+    nlay = laycfg.nlay
+    paths = limb_paths(
+        layers, atm.radius, atm.h[-1], list(range(nlay - 1)),
+        imod=PathCalc.PLANCK_FUNCTION_AT_BIN_CENTRE,
+    )
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+    trans = path_spectrum(
+        cfg, wave, taus["tautot"], paths, None, ktab.del_g
+    )  # (NWAVE, NLAY-1) transmission per tangent layer base
+
+    baseh = layers.baseh[: nlay - 1]
+    ann = (1.0 - trans) * (2.0 * np.pi) * (baseh + atm.radius)[None, :]
+    dh = baseh[1:] - baseh[:-1]
+    area_abs = 0.5 * jnp.sum((ann[:, :-1] + ann[:, 1:]) * dh[None, :], axis=1)
+    area_disk = np.pi * (atm.radius + baseh[0]) ** 2
+    area_star = np.pi * (stellar_radius_km * 1.0e3) ** 2
+    depth = (area_abs + area_disk) / area_star * 100.0
+    if return_diagnostics:
+        return depth, {"layers": layers, "paths": paths, **taus,
+                       "trans": trans}
+    return depth
+
+
+def forward_disc(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    surf: Optional[SurfaceSpec],
+    cfg: ForwardConfig,
+    quad: dict,
+    point_fn=None,
+):
+    """Disc-averaged spectrum over a static quadrature (rt.disc.
+    disc_quadrature): the reference nemesisdiscfm's joblib fan-out over
+    averaging rays (ForwardModel_0.py:1609) becomes ONE vmapped batch over
+    the (emiss, sol, azi) angle axis — the layering and opacities do not
+    depend on the mapped angles, so XLA hoists them out of the batch.
+    """
+    if point_fn is None:
+        def point_fn(e, s, a):
+            return forward_nadir(
+                atm, laycfg, ktab, cia, aero, surf, cfg,
+                emiss_ang=e, sol_ang=s, azi_ang=a,
+            )[:, 0]
+
+    specs = jax.vmap(point_fn)(
+        jnp.asarray(quad["emiss_ang"]),
+        jnp.asarray(quad["sol_ang"]),
+        jnp.asarray(quad["azi_ang"]),
+    )  # (NAV, NWAVE)
+    return jnp.einsum("i,iw->w", jnp.asarray(quad["wgeom"]), specs)
 
 
 def solar_flux(stellar: Optional[StellarSpec], wave):
