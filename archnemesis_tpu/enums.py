@@ -16,6 +16,14 @@ class WaveUnit(IntEnum):
     Wavelength_um = 1
 
 
+class EmissionType(IntEnum):
+    """EMTYPE (reference enum/emission_type_enum.py)."""
+
+    FLUORESCENCE = 0
+    CHEMICAL = 1
+    PHOTOLYSIS = 2
+
+
 class SpectralCalculationMode(IntEnum):
     """ILBL (reference enum/spectral_calculation_mode_enum.py)."""
 

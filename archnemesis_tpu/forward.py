@@ -313,9 +313,15 @@ def path_spectrum(
     path: Paths,
     surf: Optional[SurfaceSpec],
     del_g,
+    emission_layer=None,
 ):
     """LOS accumulation + IMOD dispatch + g integration (reference CIRSrad
-    ForwardModel_0.py:4376-4508). Returns (NWAVE, NPATH)."""
+    ForwardModel_0.py:4376-4508). Returns (NWAVE, NPATH).
+
+    ``emission_layer``: optional (NWAVE, NLAY) non-LTE per-layer emitted
+    radiance (ops.emissions.layer_emission); gathered onto the path exactly
+    like tau (reference EMITOT_LAYINC ForwardModel_0.py:4095).
+    """
     tau_layinc = (
         tautot[:, :, path.layinc] * path.scale[None, None, :, :]
     )  # (NWAVE, NG, NLAYIN, NPATH)
@@ -327,6 +333,11 @@ def path_spectrum(
         else:
             emissivity = jnp.zeros_like(wave)
             tsurf = jnp.asarray(-1.0, dtype=wave.dtype)
+        emission_path = None
+        if emission_layer is not None:
+            emission_path = (
+                emission_layer[:, path.layinc] * path.scale[None, :, :]
+            )  # (NWAVE, NLAYIN, NPATH)
         spec = thermal_emission_spectrum(
             wave,
             tau_layinc,
@@ -336,6 +347,7 @@ def path_spectrum(
             emissivity,
             path.surface_visible,
             cfg.gasgiant,
+            emission_path=emission_path,
             ispace=cfg.ispace,
         )
     elif not (
@@ -791,12 +803,20 @@ def forward_nadir(
     emiss_ang,
     sol_ang=180.0,
     azi_ang=0.0,
+    emis=None,
+    emis_gas_cols=(),
+    emis_dist=None,
     return_diagnostics: bool = False,
 ):
     """One nadir-geometry forward evaluation on the k-table wave grid.
 
     Equivalent to the reference nemesisfm inner loop for a single (IGEOM,
     IAV) with thermal emission (ForwardModel_0.py:437 + CIRSrad).
+
+    ``emis``/``emis_gas_cols``/``emis_dist``: optional non-LTE emission
+    tables (core.emissions.EmissionTables), their static atmosphere-column
+    mapping (ops.emissions.locate_emission_gases) and the planet-star
+    distance in AU (None without a stellar spectrum).
     """
     layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     path = nadir_path(
@@ -810,7 +830,18 @@ def forward_nadir(
     )
     wave = ktab.wave
     taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
-    spec = path_spectrum(cfg, wave, taus["tautot"], path, surf, ktab.del_g)
+    emission_layer = None
+    if emis is not None:
+        from archnemesis_tpu.ops.emissions import layer_emission
+
+        emission_layer = layer_emission(
+            emis, wave, layers.temp, layers.amount, emis_gas_cols,
+            dist=emis_dist,
+        )
+    spec = path_spectrum(
+        cfg, wave, taus["tautot"], path, surf, ktab.del_g,
+        emission_layer=emission_layer,
+    )
     if return_diagnostics:
         return spec, {"layers": layers, "path": path, **taus}
     return spec
