@@ -501,6 +501,54 @@ def forward_so(
     return specmod
 
 
+def forward_so_aotf(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab_orders,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    cfg_orders,
+    geo: dict,
+    conv_orders,
+    trans_aotf,
+):
+    """AOTF multi-diffraction-order solar occultation (reference nemesisSOfm
+    AOTF branch, ForwardModel_0.py:825-907).
+
+    Instruments with an acousto-optic tunable filter see several diffraction
+    orders at once; the reconstructed spectrum is the TRANS_AOTF-weighted
+    sum of per-order forward models, normalised by the summed weights
+    (:901-907).
+
+    Parameters
+    ----------
+    ktab_orders / cfg_orders : per-order windowed KTables + ForwardConfig
+        (the reference re-reads tables per order, :835-842)
+    conv_orders : per-order callables ``(wave, specmod) -> (NCONV, NGEOM)``
+        applying that order's ILS onto its shifted channel grid
+    trans_aotf : (NCONV, NGEOM, NORDERS) AOTF order transmissions
+
+    The tangent-path geometry ``geo`` is spectral-range independent and
+    shared across orders. The order loop is a static Python loop — each
+    order has its own wave window, so XLA compiles one fused program over
+    all orders.
+
+    Divergence from the reference: its AOTF loop re-applies subprofretg to
+    the same mutable AtmosphereX every order iteration, compounding
+    in-place profile scalings across orders (ForwardModel_0.py:835 resets
+    only SpectroscopyX; model_2.py:133 multiplies in place). Here one
+    frozen atmosphere state feeds every order.
+    """
+    trans_aotf = jnp.asarray(trans_aotf)
+    combined = 0.0
+    for o, (kt, cfg_o, conv) in enumerate(
+        zip(ktab_orders, cfg_orders, conv_orders)
+    ):
+        specmod = forward_so(atm, laycfg, kt, cia, aero, cfg_o, geo)
+        combined = combined + conv(kt.wave, specmod) * trans_aotf[:, :, o]
+    return combined / jnp.sum(trans_aotf, axis=2)
+
+
 def forward_transit(
     atm: Atmosphere,
     laycfg: LayerConfig,
