@@ -190,9 +190,18 @@ def _slice_lines(ll: LineList, wavemin: float, wavemax: float) -> LineList:
     )
 
 
-_LINESHAPE_NAMES = {0: "voigt", 1: "lorentz", 2: "gaussian",
-                    "VOIGT": "voigt", "LORENTZ": "lorentz",
-                    "GAUSSIAN": "gaussian"}
+# integer values follow the reference SpectroscopicLineProfileEnum
+# (enum/spectroscopic_line_profile_enum.py: VOIGT=0, LORENTZ=4,
+# SUBLORENTZ_CO2_BROADENING_VENUS=7, DOPPLER=12); names accepted too
+_LINESHAPE_NAMES = {
+    0: "voigt", 4: "lorentz", 7: "tonkov96_sublorentz_co2_venus",
+    12: "gaussian",
+    "VOIGT": "voigt", "LORENTZ": "lorentz", "DOPPLER": "gaussian",
+    "GAUSSIAN": "gaussian",
+    "SUBLORENTZ_CO2_BROADENING_VENUS": "tonkov96_sublorentz_co2_venus",
+    "HARTMANN_CH4_H2": "hartmann_ch4_h2",
+    "VOIGT_CH4_H2": "voigt_ch4_h2",
+}
 
 
 def read_lls_runtime(path: str) -> RuntimeLBL:

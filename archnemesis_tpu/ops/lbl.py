@@ -176,11 +176,7 @@ def lbl_cross_section(
             wn_approx_window=wn_approx_window,
             include_pressure_shift=include_pressure_shift, factor=factor,
         )
-    fn = {
-        "voigt": voigt_mod.voigt,
-        "gaussian": voigt_mod.gaussian,
-        "lorentz": voigt_mod.lorentz,
-    }[lineshape]
+    fn = voigt_mod.LINESHAPES[lineshape]
     if factor is None:
         factor = 1.0 if ll.iso_id != 0 else ll.abundance
 

@@ -102,11 +102,7 @@ def _lbl_kernel(
     ) * p_ratio
     ctr = nu + p_ratio * da_ref[:] * amb
 
-    fn = {
-        "voigt": voigt_mod.voigt,
-        "gaussian": voigt_mod.gaussian,
-        "lorentz": voigt_mod.lorentz,
-    }[lineshape]
+    fn = voigt_mod.LINESHAPES[lineshape]
 
     delta = wn_ref[:] - ctr  # (1, W) - (M, 1) -> (M, W)
     in_win = (delta >= -wn_approx) & (delta < wn_approx)

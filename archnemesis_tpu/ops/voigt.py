@@ -89,3 +89,59 @@ def gaussian(delta_wn, alpha_d, gamma_l=None):
 def lorentz(delta_wn, alpha_d, gamma_l):
     """Pressure-only profile (reference lineshape/lorentz.py)."""
     return gamma_l / (np.pi * (gamma_l**2 + delta_wn**2))
+
+
+def tonkov96_sublorentz_co2_venus(delta_wn, alpha_d, gamma_l):
+    """CO2 Voigt with Tonkov+96 sub-Lorentzian chi-factor wings for the
+    Venus near-infrared windows (reference
+    lineshape/tonkov96_sublorentz_CO2_venus.py). The piecewise chi masks are
+    elementwise selects — VPU-friendly, no control flow."""
+    ad = jnp.abs(delta_wn)
+    chi = jnp.where(
+        ad < 3.0,
+        1.0,
+        jnp.where(
+            ad < 150.0,
+            1.084 * jnp.exp(-0.027 * ad),
+            jnp.where(
+                ad < 300.0,
+                0.208 * jnp.exp(-0.016 * ad),
+                0.025 * jnp.exp(-0.009 * ad),
+            ),
+        ),
+    )
+    return chi * voigt(delta_wn, alpha_d, gamma_l)
+
+
+def hartmann_ch4_h2(delta_wn, alpha_d, gamma_l):
+    """CH4-in-H2 Voigt with Hartmann (2002) empirical sub-Lorentzian wings
+    (reference lineshape/hartmann_empirical_infrared_CH4_H2_broadening.py)."""
+    ad = jnp.abs(delta_wn)
+    chi = jnp.where(
+        ad < 26.0,
+        1.0,
+        jnp.where(
+            ad < 60.0,
+            8.72 * jnp.exp(-ad / 12.0),
+            0.0684 * jnp.exp(-ad / 393.0),
+        ),
+    )
+    return chi * voigt(delta_wn, alpha_d, gamma_l)
+
+
+def voigt_ch4_h2(delta_wn, alpha_d, gamma_l):
+    """CH4-in-H2 Voigt with both widths scaled by 1/sqrt(2) (reference
+    lineshape/voigt_CH4_H2_broadening.py — the factor matches existing
+    NEMESIS LBL tables per the reference's own note)."""
+    return voigt(delta_wn, alpha_d / SQRT_2, gamma_l / SQRT_2)
+
+
+# name -> fn registry shared by the XLA panel path and the Pallas kernel
+LINESHAPES = {
+    "voigt": voigt,
+    "gaussian": gaussian,
+    "lorentz": lorentz,
+    "tonkov96_sublorentz_co2_venus": tonkov96_sublorentz_co2_venus,
+    "hartmann_ch4_h2": hartmann_ch4_h2,
+    "voigt_ch4_h2": voigt_ch4_h2,
+}
