@@ -229,15 +229,32 @@ def layer_optical_depths(
                 ave_vmr[jnp.asarray(cfg.amb_self_cols[i])]
             )
             amb = jnp.broadcast_to(1.0 - self_frac, (nlay,))
-            k_i = lbl_cross_section(
-                ktab.line_lists[i], ktab.blocks[i],
-                layers.temp, press_atm, amb,
-                lineshape=ktab.lineshape[i],
-                s_floor=ktab.s_floor[i],
-                wn_calc_window=ktab.wn_calc_window[i],
-                wn_approx_window=ktab.wn_approx_window[i],
-                include_pressure_shift=ktab.include_pressure_shift[i],
-            )  # (NWAVE, NLAY)
+            k_i = 0.0
+            if ktab.include_lines[i]:
+                k_i = lbl_cross_section(
+                    ktab.line_lists[i], ktab.blocks[i],
+                    layers.temp, press_atm, amb,
+                    lineshape=ktab.lineshape[i],
+                    s_floor=ktab.s_floor[i],
+                    wn_calc_window=ktab.wn_calc_window[i],
+                    wn_approx_window=ktab.wn_approx_window[i],
+                    include_pressure_shift=ktab.include_pressure_shift[i],
+                )  # (NWAVE, NLAY)
+            if (
+                ktab.include_continuum[i]
+                and ktab.pseudo_continuum[i] is not None
+            ):
+                # weak-line pseudo-continuum (reference
+                # add_monochromatic_absorption LineData_0.py:2436-2460)
+                from archnemesis_tpu.ops.pseudo_continuum import (
+                    pseudo_continuum_k,
+                )
+
+                k_i = k_i + pseudo_continuum_k(
+                    ktab.pseudo_continuum[i], np.asarray(ktab.wave),
+                    layers.temp, press_atm, amb,
+                    lineshape=ktab.lineshape[i],
+                )
             taugas = taugas + k_i * amounts[i][None, :]
         taugas = taugas[:, None, :]  # NG=1 axis
     elif ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:

@@ -122,6 +122,95 @@ def read_ans_linedata(path: str, gas_id: int, iso_id: int,
     )
 
 
+def read_ans_pseudo_continuum(path: str, gas_id: int, iso_id: int,
+                              ambient: str = "AIR",
+                              temperature: float | None = None,
+                              pf_temp=None, pf_q=None):
+    """Read an "ans" pseudo-continuum HDF5 file into a PseudoContinuum.
+
+    Layout (reference database/filetypes/ans_pseudo_continuum_file.py):
+    groups ``pseudo_continuum/<MOL>/<iso>/pc_data_NNNN`` with datasets
+    wn_bin_center/wn_bin_width/line_strength_sum/
+    line_strength_weighted_mean_lower_energy_state/..._gamma_self/..._n_self
+    and per-broadener ``broadeners/<GAS>`` subgroups; attrs t_cont, s_max,
+    p_ref. Leaf selection follows the reference (:280-302): leaves are
+    ordered by (s_max, t_cont); the best t_cont is the lowest one >= the
+    target temperature (last leaf when none qualifies or no target given).
+    Missing broadener data falls back to the self coefficients (:590-596).
+    """
+    import h5py
+
+    from archnemesis_tpu.ops.pseudo_continuum import PseudoContinuum
+
+    name = _mol_name(gas_id)
+    with h5py.File(path, "r") as f:
+        grp = f[f"pseudo_continuum/{name}/{iso_id}"]
+        leaves = sorted(k for k in grp.keys() if k.startswith("pc_data"))
+        if temperature is not None:
+            best = None
+            for k in leaves:
+                tc = float(grp[k].attrs["t_cont"])
+                if tc >= temperature and (
+                    best is None or tc < float(grp[best].attrs["t_cont"])
+                ):
+                    best = k
+            leaf = best if best is not None else leaves[-1]
+        else:
+            leaf = leaves[-1]
+        g = grp[leaf]
+        t_cont = float(g.attrs["t_cont"])
+        p_ref = float(g.attrs.get("p_ref", 1.0))
+        gamma_self = np.asarray(
+            g["line_strength_weighted_gamma_self"][()], dtype=np.float64
+        )
+        n_self = np.asarray(
+            g["line_strength_weighted_n_self"][()], dtype=np.float64
+        )
+        if "broadeners" in g and ambient in g["broadeners"]:
+            b = g[f"broadeners/{ambient}"]
+            gamma_amb = np.asarray(
+                b["line_strength_weighted_gamma_amb"][()], dtype=np.float64
+            )
+            n_amb = np.asarray(
+                b["line_strength_weighted_n_amb"][()], dtype=np.float64
+            )
+        else:
+            gamma_amb, n_amb = gamma_self, n_self
+
+        pc_kwargs = dict(
+            wn_bin_center=np.asarray(g["wn_bin_center"][()],
+                                     dtype=np.float64),
+            wn_bin_width=np.asarray(g["wn_bin_width"][()],
+                                    dtype=np.float64),
+            strength_sum=np.asarray(g["line_strength_sum"][()],
+                                    dtype=np.float64),
+            lsw_e_lower=np.asarray(
+                g["line_strength_weighted_mean_lower_energy_state"][()],
+                dtype=np.float64,
+            ),
+        )
+
+    gi = refdata.gas_info()[str(gas_id)]
+    iso = gi["isotope"][str(iso_id if iso_id != 0 else 1)]
+    if pf_temp is None:
+        # partition function comes from the PF database (same as the line
+        # list's); a flat Q disables the Q-ratio scaling
+        pf_temp, pf_q = np.array([1.0, 1.0e4]), np.array([1.0, 1.0])
+    return PseudoContinuum(
+        t_ref=t_cont,
+        p_ref=p_ref,
+        mass=float(iso["mass"]),
+        abundance=float(iso["abun"]),
+        lsw_gamma_self=gamma_self,
+        lsw_n_self=n_self,
+        lsw_gamma_amb=gamma_amb,
+        lsw_n_amb=n_amb,
+        pf_temp=np.asarray(pf_temp, dtype=np.float64),
+        pf_q=np.asarray(pf_q, dtype=np.float64),
+        **pc_kwargs,
+    )
+
+
 @dataclass
 class RuntimeLBL:
     """Runtime line-by-line spectroscopy (the reference's ILBL=1 RUNTIME
@@ -143,6 +232,12 @@ class RuntimeLBL:
     s_floor: tuple
     include_pressure_shift: tuple
     blocks: tuple = ()  # per gas: LblBlocks (built lazily for a wave grid)
+    # per gas: PseudoContinuum (ops.pseudo_continuum) or None; weak-line
+    # continuum added when include_continuum is set (reference
+    # INCLUDE_CONTINUUM / DBASE_PC, Spectroscopy_0.py:975-1010)
+    pseudo_continuum: tuple = ()
+    include_lines: tuple = ()
+    include_continuum: tuple = ()
 
     del_g: np.ndarray = None
     ilbl: int = 1  # SpectralCalculationMode.LINE_BY_LINE_RUNTIME
@@ -150,6 +245,13 @@ class RuntimeLBL:
     def __post_init__(self):
         if self.del_g is None:
             self.del_g = np.array([1.0])
+        n = len(self.gas_id)
+        if not self.pseudo_continuum:
+            self.pseudo_continuum = (None,) * n
+        if not self.include_lines:
+            self.include_lines = (True,) * n
+        if not self.include_continuum:
+            self.include_continuum = (True,) * n
 
     @property
     def ngas(self):
@@ -211,8 +313,9 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
     base_dir = os.path.dirname(os.path.abspath(path))
     wave_spec = None
     cur = dict(
-        ld=None, pf=None, lineshape="voigt", wn_calc=25.0, wn_approx=75.0,
-        amb="AIR", s_floor=0.0, shift=True,
+        ld=None, pf=None, pc=None, lineshape="voigt", wn_calc=25.0,
+        wn_approx=75.0, amb="AIR", s_floor=0.0, shift=True,
+        inc_lines=True, inc_cont=True,
     )
     gases = []
 
@@ -229,8 +332,10 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
             wave_spec = tuple(float(x) for x in line.split()[1:])
         elif key in ("DBASE_PF",):
             cur["pf"] = resolve(line.split(maxsplit=1)[1])
-        elif key in ("DBASE_LD", "DBASE_PC"):
-            cur["ld"] = resolve(line.split(maxsplit=1)[1]) if key == "DBASE_LD" else cur["ld"]
+        elif key == "DBASE_LD":
+            cur["ld"] = resolve(line.split(maxsplit=1)[1])
+        elif key == "DBASE_PC":
+            cur["pc"] = resolve(line.split(maxsplit=1)[1])
         elif key == "LINESHAPE":
             v = line.split()[1]
             cur["lineshape"] = _LINESHAPE_NAMES[v if not v.isdigit() else int(v)]
@@ -244,6 +349,10 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
             cur["s_floor"] = float(line.split()[1])
         elif key == "INCLUDE_PRESSURE_SHIFT":
             cur["shift"] = line.split()[1].upper() in ("TRUE", "T", "1")
+        elif key == "INCLUDE_LINES":
+            cur["inc_lines"] = line.split()[1].upper() in ("TRUE", "T", "1")
+        elif key == "INCLUDE_CONTINUUM":
+            cur["inc_cont"] = line.split()[1].upper() in ("TRUE", "T", "1")
         elif key == "MOL":
             parts = line.split()
             name_or_id = parts[1]
@@ -265,6 +374,7 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
     wave = np.arange(*wave_spec, dtype=float)
 
     lls, shapes, wcs, was, sfs, shifts = [], [], [], [], [], []
+    pcs, incl, incc = [], [], []
     for gid, iso, c in gases:
         lls.append(read_ans_linedata(c["ld"], gid, iso if iso != 0 else 1,
                                      ambient=c["amb"]))
@@ -273,6 +383,15 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
         was.append(c["wn_approx"])
         sfs.append(c["s_floor"])
         shifts.append(c["shift"])
+        incl.append(c["inc_lines"])
+        incc.append(c["inc_cont"])
+        if c["pc"] is not None and c["inc_cont"]:
+            pcs.append(read_ans_pseudo_continuum(
+                c["pc"], gid, iso if iso != 0 else 1, ambient=c["amb"],
+                pf_temp=lls[-1].pf_temp, pf_q=lls[-1].pf_q,
+            ))
+        else:
+            pcs.append(None)
 
     return RuntimeLBL(
         wave=wave,
@@ -284,4 +403,7 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
         wn_approx_window=tuple(was),
         s_floor=tuple(sfs),
         include_pressure_shift=tuple(shifts),
+        pseudo_continuum=tuple(pcs),
+        include_lines=tuple(incl),
+        include_continuum=tuple(incc),
     )
