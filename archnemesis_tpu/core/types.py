@@ -77,6 +77,34 @@ class Atmosphere:
         return self.dust.shape[1]
 
 
+def stack_atmospheres(atms):
+    """Stack single-location Atmospheres into one multi-location pytree with
+    a leading (NLOCATIONS,) axis on every profile leaf.
+
+    TPU-native counterpart of the reference's NLOCATIONS mode
+    (Atmosphere_0.py:164-182, 2D (NP, NLOCATIONS) arrays): the batched
+    pytree feeds `jax.vmap`-ed forward models, and per-location
+    parameterisations (model 1002) scale along the leading axis. Static
+    metadata must match across locations.
+    """
+    import jax
+
+    a0 = atms[0]
+    for a in atms[1:]:
+        if (a.gas_id, a.iso_id, a.planet, a.amform) != (
+            a0.gas_id, a0.iso_id, a0.planet, a0.amform
+        ):
+            raise ValueError("atmospheres must share static metadata")
+    return jax.tree_util.tree_map(
+        lambda *xs: (
+            np.stack([np.asarray(x) for x in xs])
+            if xs[0] is not None
+            else None
+        ),
+        *atms,
+    )
+
+
 @pytree_dataclass
 class LayerConfig:
     """Static layering scheme (reference ``Layer_0`` settings)."""

@@ -86,6 +86,7 @@ def coreret_oe(
     state_check: Optional[Callable] = None,
     verbose: bool = False,
     record_itr: bool = False,
+    x0: Optional[np.ndarray] = None,
 ) -> OEResult:
     """Run the OE iteration loop (reference coreretOE:1173).
 
@@ -96,6 +97,9 @@ def coreret_oe(
     check used by the Marquardt brake (reference re-runs subprofretg to
     detect negative temperatures, :1439-1444). Returning False increases
     the brake.
+
+    x0: optional starting state (checkpoint resume from a .itr record,
+    reference from_itr OptimalEstimation_0.py:55); defaults to xa.
     """
     xa = jnp.asarray(xa)
     sa = jnp.asarray(sa)
@@ -107,7 +111,7 @@ def coreret_oe(
         lambda x: (forward_fn(x), jax.jacfwd(forward_fn)(x))
     )
 
-    xn = xa
+    xn = xa if x0 is None else jnp.asarray(x0)
     yn, kk = fwd_and_jac(xn)
     phi, chisq = calc_phi(y, yn, xn, xa, se, sa)
     ophi = float(phi)

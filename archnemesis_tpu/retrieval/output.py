@@ -208,6 +208,46 @@ def read_raw(path):
     return dict(varidents=varidents, xn=xn, lx=lx, num=num, st=st, nx=nx)
 
 
+def read_itr(path):
+    """Read a .itr iteration log back and return the LAST record (reference
+    OptimalEstimation_0.from_itr:55, which also selects the final record).
+    Used to resume an interrupted retrieval from its checkpoint.
+
+    Record layout mirrors write_itr: chisq/phi line, then XN1, XA, Y,
+    SE diag, YN1, YN (NX/NY-sized columns) and KK column-major.
+    """
+    with open(path) as f:
+        lines = f.read().split("\n")
+    nx, ny, niter = (int(v) for v in lines[0].split())
+    lines_per_record = 1 + 2 * nx + 4 * ny + nx * ny
+    n_records = (len([ln for ln in lines if ln.strip()]) - 1) // lines_per_record
+    li = 1 + (n_records - 1) * lines_per_record
+    chisq, phi = (float(v) for v in lines[li].split())
+    li += 1
+
+    def col(n):
+        nonlocal li
+        v = np.array([float(lines[li + k]) for k in range(n)])
+        li += n
+        return v
+
+    xn1 = col(nx)
+    xa = col(nx)
+    y = col(ny)
+    se_diag = col(ny)
+    yn1 = col(ny)
+    yn = col(ny)
+    kk = np.zeros((ny, nx))
+    for i in range(nx):
+        for j in range(ny):
+            kk[j, i] = float(lines[li])
+            li += 1
+    return dict(
+        nx=nx, ny=ny, niter=niter, n_records=n_records, chisq=chisq,
+        phi=phi, xn1=xn1, xa=xa, y=y, se_diag=se_diag, yn1=yn1, yn=yn, kk=kk,
+    )
+
+
 def write_itr(path, setup, records):
     """Write the .itr iteration log (reference coreretOE
     OptimalEstimation_0.py:1310-1396): header NX NY NITER then per-record

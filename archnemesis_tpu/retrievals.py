@@ -64,15 +64,32 @@ def _windowed_ktab(deck: Deck, wavemin, wavemax) -> KTables:
     return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
 
 
-def make_retrieval_setup(deck_dir: str, runname: str) -> RetrievalSetup:
+def make_retrieval_setup(
+    deck_dir: str, runname: str, atm_override=None, sv_override=None
+) -> RetrievalSetup:
+    """Build the retrieval setup.
+
+    ``atm_override`` replaces the deck's reference atmosphere (LIN=1/3
+    chaining bakes the previous retrieval's state into the base profiles,
+    reference Retrievals.py:190-196). ``sv_override`` swaps the state
+    vector the forward function applies (used to linearise around a
+    previous retrieval's variables, the reference's FM_prev)."""
     deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        import dataclasses
+
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
     st = deck.settings
     if deck.settings.iscat != ScatteringCalculationMode.THERMAL_EMISSION:
         raise NotImplementedError("only thermal-emission retrievals wired so far")
     if deck.settings.iform != SpectraUnit.Radiance:
         raise NotImplementedError("only IFORM=Radiance wired so far")
 
-    sv = read_apr(deck.apr_path, deck.atmosphere)
+    sv = (
+        sv_override
+        if sv_override is not None
+        else read_apr(deck.apr_path, deck.atmosphere)
+    )
     geom = deck.geometry
 
     # measurement vector (reference calc_MeasurementVector Measurement_0.py:1423)
@@ -283,6 +300,56 @@ def run_retrieval(
     return setup, res
 
 
+def _match_prev_entries(sv, prev):
+    """Match .pre varidents against the current state vector's entries.
+
+    The .pre stores only varidents + the flat state; block sizes come from
+    the matching current entries (same parameterisation => same NXVAR).
+    Returns [(entry, prev_offset)] in .pre order. Raises if a previous
+    variable has no current counterpart (reconstructing arbitrary models
+    from varparam alone is not supported yet).
+    """
+    by_vid = {e.varident: e for e in sv.entries}
+    matched, ix2 = [], 0
+    for vid in prev["varidents"]:
+        e = by_vid.get(tuple(vid))
+        if e is None:
+            raise NotImplementedError(
+                f"previous-retrieval variable {vid} is not in the current "
+                "state vector; chaining unmatched variables needs "
+                "from-varparam model reconstruction"
+            )
+        matched.append((e, ix2))
+        ix2 += e.nx
+    if ix2 != prev["nx"]:
+        raise ValueError(
+            f".pre state length {prev['nx']} != matched layout {ix2}"
+        )
+    return matched
+
+
+def _prev_subset_sv(sv, matched, atm):
+    """A StateVector holding only the previous retrieval's variables, with
+    offsets renumbered to the .pre layout — used to bake the previous state
+    into the base atmosphere (LIN=1/3, reference Retrievals.py:182-196)."""
+    import dataclasses
+
+    from archnemesis_tpu.retrieval.statevector import StateVector
+
+    entries, lxs = [], []
+    for e, off in matched:
+        entries.append(dataclasses.replace(e, ix=off))
+        lxs.append(sv.lx[e.ix : e.ix + e.nx])
+    nx = sum(e.nx for e, _ in matched)
+    sub = StateVector(
+        entries=tuple(entries), nx=nx,
+        xa=np.zeros(nx), sa=np.eye(nx),
+        lx=np.concatenate(lxs) if lxs else np.zeros(0, dtype=int),
+        fix=np.zeros(nx, dtype=int), inum=np.zeros(nx, dtype=int),
+    )
+    return sub.with_iscale(atm.nvmr)
+
+
 def retrieval_nemesis(
     deck_dir: str,
     runname: str,
@@ -291,17 +358,23 @@ def retrieval_nemesis(
     philimit: Optional[float] = None,
     write_outputs: bool = True,
     verbose: bool = False,
+    resume: bool = False,
 ) -> OEResult:
     """Full retrieval driver (reference retrieval_nemesis Retrievals.py:31):
     load deck, optional LIN chaining from <runname>.pre, OE retrieval, and
     legacy output files (.mre/.cov/.raw/.itr).
 
     LIN semantics (Retrievals.py:171-290):
-      1 - apply the previous retrieval and fold its posterior through the
-          Jacobian into SE as forward-model error
+      1 - bake the previous retrieval's state into the base atmosphere and
+          fold its posterior through the Jacobian into SE as forward-model
+          error
       2 - substitute the previous posterior state/covariance as the new
           a-priori for matching VARIDENTs
-      3 - both
+      3 - both, with the re-retrieved variables' columns excluded from the
+          forward-model-error projection (Retrievals.py:262-275)
+
+    resume=True restarts the OE loop from the last .itr checkpoint record
+    (reference OptimalEstimation_0.from_itr:55).
     """
     import os
 
@@ -318,39 +391,59 @@ def retrieval_nemesis(
 
     if lin > 0:
         prev = out_mod.read_raw(os.path.join(deck_dir, runname + ".pre"))
+        matched = _match_prev_entries(sv, prev)
         if lin in (2, 3):
-            # substitute matching-varident blocks (Retrievals.py:195-215)
-            off_prev = {}
-            # previous entries are matched positionally by varident; the
-            # .pre stores only varidents, block sizes come from matching
-            # against the current state vector layout
-            ix2 = 0
-            for vid in prev["varidents"]:
-                off_prev[vid] = ix2
-                for e in sv.entries:
-                    if e.varident == vid:
-                        ix2 += e.nx
-                        break
-            for e in sv.entries:
-                if e.varident in off_prev:
-                    i1, i2 = e.ix, off_prev[e.varident]
-                    xa[i1 : i1 + e.nx] = prev["xn"][i2 : i2 + e.nx]
-                    sa[i1 : i1 + e.nx, i1 : i1 + e.nx] = prev["st"][
-                        i2 : i2 + e.nx, i2 : i2 + e.nx
-                    ]
+            # substitute matching-varident blocks (Retrievals.py:205-226)
+            for e, i2 in matched:
+                i1 = e.ix
+                xa[i1 : i1 + e.nx] = prev["xn"][i2 : i2 + e.nx]
+                sa[i1 : i1 + e.nx, i1 : i1 + e.nx] = prev["st"][
+                    i2 : i2 + e.nx, i2 : i2 + e.nx
+                ]
         if lin in (1, 3):
-            # forward-model error from the previous retrieval's posterior
-            # (Retrievals.py:176-186): SE += K ST K^T at the previous state
-            kk_prev = np.asarray(
-                jax.jacfwd(setup.forward_fn)(jnp.asarray(prev["xn"]))
+            from archnemesis_tpu.retrieval.statevector import apply_state
+
+            sub_sv = _prev_subset_sv(sv, matched, setup.deck.atmosphere)
+
+            # forward-model error SE += K_prev ST K_prev^T, with K_prev the
+            # Jacobian of the forward model over ONLY the previous
+            # retrieval's variables around the previous state on the
+            # pristine reference atmosphere (the reference's FM_prev,
+            # Retrievals.py:182-188). For LIN=3 the columns of re-retrieved
+            # variables are zeroed (:262-275) — every matched variable is
+            # re-retrieved here, so SF vanishes.
+            if lin == 1:
+                setup_prev = make_retrieval_setup(
+                    deck_dir, runname, sv_override=sub_sv
+                )
+                kk_prev = np.asarray(
+                    jax.jacfwd(setup_prev.forward_fn)(
+                        jnp.asarray(prev["xn"])
+                    )
+                )
+                se = se + kk_prev @ prev["st"] @ kk_prev.T
+
+            # bake the previous state into the base atmosphere
+            # (Retrievals.py:190-196: the reference keeps FM_prev's
+            # AtmosphereX) and rebuild the setup over it
+            atm_baked = apply_state(
+                setup.deck.atmosphere, jnp.asarray(prev["xn"]), sub_sv
             )
-            se = se + kk_prev @ prev["st"] @ kk_prev.T
+            setup = make_retrieval_setup(
+                deck_dir, runname, atm_override=atm_baked
+            )
+
+    x0 = None
+    if resume:
+        itr_path = os.path.join(deck_dir, runname + ".itr")
+        if os.path.exists(itr_path):
+            x0 = out_mod.read_itr(itr_path)["xn1"]
 
     res = coreret_oe(
         setup.forward_fn, xa, sa, setup.y, se, sv.lx,
         niter=niter if niter is not None else max(st.niter, 0),
         philimit=philimit if philimit is not None else st.philimit,
-        verbose=verbose, record_itr=write_outputs,
+        verbose=verbose, record_itr=write_outputs, x0=x0,
     )
 
     if write_outputs:

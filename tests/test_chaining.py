@@ -1,0 +1,110 @@
+"""LIN retrieval chaining (.pre) + .itr checkpoint/resume.
+
+Covers the reference's previous-retrieval machinery (Retrievals.py:171-290
+LIN=1/2/3 semantics, OptimalEstimation write_raw:1043 / Files read_pre:1623
+round trip, and OptimalEstimation_0.from_itr:55 resume). The forward model
+and Jacobian are oracle-verified elsewhere (test_retrieval_e2e); here the
+chaining plumbing is checked for self-consistency on the Jupiter deck.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from archnemesis_tpu.retrieval import output as out_mod
+from archnemesis_tpu.retrievals import make_retrieval_setup, retrieval_nemesis
+
+DECK = "tests/fixtures/jupiter_nadir"
+
+
+@pytest.fixture(scope="module")
+def chained_deck(tmp_path_factory):
+    """Copy the deck, run a short retrieval, promote .raw -> .pre."""
+    base = tmp_path_factory.mktemp("chain")
+    dst = str(base / "deck")
+    shutil.copytree(DECK, dst)
+    # the deck's .kls points at ../ktables relative paths
+    shutil.copytree("tests/fixtures/ktables", str(base / "ktables"))
+    res0 = retrieval_nemesis(dst, "cirstest", niter=1, write_outputs=True)
+    shutil.copyfile(
+        os.path.join(dst, "cirstest.raw"), os.path.join(dst, "cirstest.pre")
+    )
+    return dst, res0
+
+
+def test_raw_pre_roundtrip(chained_deck):
+    dst, res0 = chained_deck
+    prev = out_mod.read_raw(os.path.join(dst, "cirstest.pre"))
+    s = make_retrieval_setup(dst, "cirstest")
+    assert prev["nx"] == s.sv.nx
+    np.testing.assert_allclose(prev["xn"], res0.xn, rtol=1e-7)
+    np.testing.assert_allclose(prev["st"], res0.st, rtol=1e-6, atol=1e-30)
+    assert prev["varidents"] == [e.varident for e in s.sv.entries]
+
+
+def test_itr_roundtrip_and_resume(chained_deck):
+    dst, res0 = chained_deck
+    rec = out_mod.read_itr(os.path.join(dst, "cirstest.itr"))
+    s = make_retrieval_setup(dst, "cirstest")
+    assert rec["nx"] == s.sv.nx
+    assert rec["ny"] == s.y.shape[0]
+    # records are written at the START of each iteration (reference
+    # coreretOE OptimalEstimation_0.py:1386-1396), so the niter=1 run's
+    # single record holds the starting (a-priori) state at 4 sig digits
+    np.testing.assert_allclose(rec["xn1"], s.sv.xa, rtol=2e-4)
+    np.testing.assert_allclose(rec["y"], s.y, rtol=2e-4)
+
+    # resume: starting from the checkpoint with zero iterations lands on
+    # the checkpointed state
+    res_r = retrieval_nemesis(
+        dst, "cirstest", niter=0, write_outputs=False, resume=True
+    )
+    np.testing.assert_allclose(res_r.xn, rec["xn1"], rtol=1e-12)
+
+
+def test_lin2_substitutes_apriori(chained_deck):
+    """LIN=2: previous posterior becomes the new a-priori, so a 0-iteration
+    run sits exactly at the previous retrieved state."""
+    dst, res0 = chained_deck
+    res2 = retrieval_nemesis(dst, "cirstest", lin=2, niter=0,
+                             write_outputs=False)
+    np.testing.assert_allclose(res2.xn, res0.xn, rtol=1e-7)
+
+
+def test_lin1_inflates_se_and_bakes_atmosphere(chained_deck):
+    """LIN=1: the previous posterior folds through K_prev into SE
+    (chisq drops vs an unchained run at the same state) and the base
+    atmosphere carries the previous state."""
+    dst, res0 = chained_deck
+    res_plain = retrieval_nemesis(dst, "cirstest", lin=0, niter=0,
+                                  write_outputs=False)
+    res1 = retrieval_nemesis(dst, "cirstest", lin=1, niter=0,
+                             write_outputs=False)
+    # the baked atmosphere changes the forward spectrum at the a-priori
+    assert not np.allclose(res1.yn, res_plain.yn, rtol=1e-9)
+    # SE inflation: chisq (measurement misfit weighted by SE^-1) must be
+    # strictly smaller than with the uninflated SE at the same yn
+    s = make_retrieval_setup(dst, "cirstest")
+    resid = res1.yn - s.y
+    chisq_uninflated = float(
+        resid @ np.linalg.solve(s.se, resid) / s.y.shape[0]
+    )
+    assert res1.chisq < chisq_uninflated
+
+
+def test_lin3_substitutes_and_bakes(chained_deck):
+    """LIN=3: a-priori substitution AND baking; all matched variables are
+    re-retrieved, so no forward-model error is added (the reference zeroes
+    those Jacobian columns, Retrievals.py:262-275)."""
+    dst, res0 = chained_deck
+    res3 = retrieval_nemesis(dst, "cirstest", lin=3, niter=0,
+                             write_outputs=False)
+    np.testing.assert_allclose(res3.xn, res0.xn, rtol=1e-7)
+    # chisq uses the UNinflated SE (SF=0): recomputing it from the result's
+    # own residual and the deck SE must reproduce it
+    s = make_retrieval_setup(dst, "cirstest")
+    resid = res3.yn - s.y
+    chisq = float(resid @ np.linalg.solve(s.se, resid) / s.y.shape[0])
+    np.testing.assert_allclose(res3.chisq, chisq, rtol=1e-8)
