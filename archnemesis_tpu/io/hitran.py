@@ -21,6 +21,7 @@ from functools import lru_cache
 import numpy as np
 
 from archnemesis_tpu import data as refdata
+from archnemesis_tpu import native
 from archnemesis_tpu.constants import C2_CGS
 from archnemesis_tpu.io.linedata import LineList
 
@@ -81,13 +82,19 @@ def _iso_char_decode(col):
     return out
 
 
-def parse_par(path_or_bytes, line_width: int | None = None):
+def parse_par(path_or_bytes, line_width: int | None = None,
+              use_native: bool | None = None):
     """Parse a HITRAN ``.par`` file into columnar numpy arrays.
 
     Handles the 160-char (2004+) and 100-char formats; the physics columns
     occupy the same first 67 bytes in both (reference FormatHitran160 /
     FormatHitran100). Line width is auto-detected from the first line when
     not given. Returns a dict of (N,) arrays.
+
+    Decoding runs on the C++ multithreaded fixed-width engine
+    (``native/src/fixed_width.cpp``) when it is buildable/loadable;
+    ``use_native=False`` forces the vectorised-numpy fallback (both produce
+    identical arrays).
     """
     if isinstance(path_or_bytes, bytes):
         buf = path_or_bytes
@@ -106,6 +113,24 @@ def parse_par(path_or_bytes, line_width: int | None = None):
             f"ragged .par file: {len(buf)} bytes not divisible by "
             f"record width {stride}"
         )
+
+    if use_native is None:
+        use_native = native.available()
+    if use_native:
+        cols = [
+            (
+                name, a, b,
+                native.KIND_I32 if name == "mol_id"
+                else native.KIND_ISO_CHAR if name == "local_iso_id"
+                else native.KIND_F64,
+            )
+            for name, a, b in _COLS_160
+        ]
+        out = native.parse_fixed(buf, stride, cols)
+        out["mol_id"] = out["mol_id"].astype(np.int64)
+        out["local_iso_id"] = out["local_iso_id"].astype(np.int64)
+        return out
+
     mat = np.frombuffer(buf, dtype=np.uint8).reshape(n, stride)
 
     def field(start, stop, dtype=float):
