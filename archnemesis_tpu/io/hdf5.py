@@ -193,16 +193,23 @@ def load_deck_hdf5(path: str) -> Deck:
         niter = _scalar(rt, "NITER", default=0) if rt is not None else 0
         philimit = _scalar(rt, "PHILIMIT", float, 0.1) if rt is not None else 0.1
 
+    # --- Stellar (reference Stellar_0.read_hdf5:290)
+    from archnemesis_tpu.io.stellar import read_stellar_hdf5
+
+    stellar = read_stellar_hdf5(path)
+
     settings = RunSettings(
         ispace=WaveUnit(ispace), iscat=iscat, ilbl=ilbl,
         iform=SpectraUnit(iform), woff=woff, niter=niter, philimit=philimit,
         inormal=ParaH2Ratio.EQUILIBRIUM, iray=iray, imie=imie,
-        nmu=nmu, nf=nf, nphi=nphi, isol=False, dist=0.0,
+        nmu=nmu, nf=nf, nphi=nphi,
+        isol=stellar is not None,
+        dist=float(np.asarray(stellar.dist)) if stellar is not None else 0.0,
         lowbc=surf.lowbc, galb=float(surf.galb), tsurf=tsurf,
         v_doppler=v_doppler, ishape=ishape,
     )
     return Deck(
         atmosphere=atm, layer_config=laycfg, geometry=geom,
         settings=settings, ktables=ktab, cia=None, aerosol=aero,
-        surface=surf, stellar=None, apr_path=None, telluric=telluric,
+        surface=surf, stellar=stellar, apr_path=None, telluric=telluric,
     )

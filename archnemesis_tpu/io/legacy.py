@@ -377,20 +377,13 @@ def read_cia_file(path, inormal) -> CIATables:
 
 
 def read_sol(path, dist, ispace) -> StellarSpec:
-    """.sol run file names a stellar spectrum in Data/stellar
-    (Stellar_0.read_sol:305)."""
-    with open(path) as f:
-        name = f.readline().strip()
-    spath = os.path.join(REFERENCE_DATA, "Data", "stellar", name)
-    lines = [ln for ln in open(spath) if not ln.startswith("#")]
-    # first non-comment line: ispace flag; second: stellar radius; rest: data
-    ispace_sol = int(float(lines[0].split()[0]))
-    radius = float(lines[1].split()[0])
-    data = np.array([[float(x) for x in ln.split()[:2]] for ln in lines[2:] if ln.split()])
-    return StellarSpec(
-        wave=data[:, 0], solspec=data[:, 1],
-        dist=np.asarray(dist), radius=np.asarray(radius),
-        solexist=True, ispace=ispace_sol,
+    """.sol run file (Stellar_0.read_sol:305): either names a stellar
+    spectrum in Data/stellar, or holds it inline after a leading ``-1``."""
+    from archnemesis_tpu.io import stellar as stellar_io
+
+    return stellar_io.read_sol(
+        path, dist,
+        stellar_data_dir=os.path.join(REFERENCE_DATA, "Data", "stellar"),
     )
 
 
