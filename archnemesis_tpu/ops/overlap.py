@@ -39,45 +39,41 @@ def g_bin_edges(del_g: np.ndarray) -> np.ndarray:
     return edges
 
 
-def _combine_pair(w2, g_edges, tau_a, tau_b, nstraddle):
+def _combine_pair(w2, g_edges, tau_a, tau_b, nstraddle=None):
     """Random-overlap combine of two k-distributions.
 
     tau_a, tau_b: (..., NG) optical-depth distributions.
     w2: (NG*NG,) static pair weights del_g[i]*del_g[j].
     Returns (..., NG).
+
+    TPU mapping: one multi-operand ``lax.sort`` co-sorts the pair weights
+    with the tau keys (no argsort + gathers — gathers/scatters serialize on
+    TPU), and the rebin is an elementwise interval-overlap contraction over
+    the NG output bins (no scatter-add). ``nstraddle`` is accepted for
+    API compatibility but unused: the contraction covers every bin an
+    element can intersect by construction.
     """
     ng = tau_a.shape[-1]
     batch = tau_a.shape[:-1]
 
     tau = (tau_a[..., :, None] + tau_b[..., None, :]).reshape(*batch, ng * ng)
-    order = jnp.argsort(tau, axis=-1)
-    tau_s = jnp.take_along_axis(tau, order, axis=-1)
-    w_s = w2[order]
+    w_full = jnp.broadcast_to(w2, tau.shape)
+    tau_s, w_s = jax.lax.sort((tau, w_full), dimension=-1, num_keys=1)
     ghi = jnp.cumsum(w_s, axis=-1)
     glo = ghi - w_s
 
-    b0 = jnp.clip(jnp.searchsorted(g_edges, glo, side="right") - 1, 0, ng - 1)
-
-    flat_b = int(np.prod(batch)) if batch else 1
-    batch_off = (ng * jnp.arange(flat_b)).reshape(
-        tuple(batch) + (1,) if batch else (1,)
-    ) if batch else 0
-    num = jnp.zeros((flat_b * ng,), dtype=tau.dtype)
-    den = jnp.zeros((flat_b * ng,), dtype=tau.dtype)
-    for s in range(nstraddle):
-        valid = b0 + s <= ng - 1
-        b = jnp.minimum(b0 + s, ng - 1)
-        inter = jnp.clip(
-            jnp.minimum(ghi, g_edges[b + 1]) - jnp.maximum(glo, g_edges[b]),
-            0.0,
-            None,
-        )
-        inter = jnp.where(valid, inter, 0.0)
-        seg = (b + batch_off).reshape(-1)
-        num = num.at[seg].add((inter * tau_s).reshape(-1))
-        den = den.at[seg].add(inter.reshape(-1))
-    out = num / jnp.maximum(den, jnp.finfo(tau.dtype).tiny)
-    return out.reshape(*batch, ng)
+    # interval-overlap of each sorted element [glo, ghi) with each output
+    # g-bin [e_j, e_{j+1}): a (..., NG*NG, NG) clip contracted over elements.
+    lo_e = g_edges[:-1]
+    hi_e = g_edges[1:]
+    inter = jnp.clip(
+        jnp.minimum(ghi[..., None], hi_e) - jnp.maximum(glo[..., None], lo_e),
+        0.0,
+        None,
+    )
+    num = jnp.einsum("...n,...nj->...j", tau_s, inter)
+    den = jnp.sum(inter, axis=-2)
+    return num / jnp.maximum(den, jnp.finfo(tau.dtype).tiny)
 
 
 def mix_gas_k(del_g, k_gas, amounts, nstraddle=None, g_edges=None):

@@ -106,14 +106,19 @@ def main():
     atm = jax.device_put(atm)
     ktab = jax.device_put(ktab)
     out = fwd(atm, ktab)
-    out.block_until_ready()  # compile + warmup
+    # NOTE: block_until_ready does not reliably wait on the remote-TPU
+    # "axon" backend; a host readback of a device-computed scalar is the
+    # only sync that provably covers execution. In-order program execution
+    # means reading the last rep's result fences all previous reps.
+    _ = float(out.sum())  # compile + warmup
 
-    nrep = 5
+    nrep = 3
     t0 = time.perf_counter()
     for _ in range(nrep):
         out = fwd(atm, ktab)
-    out.block_until_ready()
+    checksum = float(out.sum())
     dt = (time.perf_counter() - t0) / nrep
+    assert np.isfinite(checksum), "non-finite forward output"
 
     gridpoints_per_s = nwave / dt
     print(
