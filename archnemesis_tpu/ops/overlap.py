@@ -76,7 +76,15 @@ def _combine_pair(w2, g_edges, tau_a, tau_b, nstraddle=None):
     return num / jnp.maximum(den, jnp.finfo(tau.dtype).tiny)
 
 
-def mix_gas_k(del_g, k_gas, amounts, nstraddle=None, g_edges=None):
+def _pallas_default() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def mix_gas_k(del_g, k_gas, amounts, nstraddle=None, g_edges=None,
+              use_pallas=None):
     """Sequentially mix per-gas k-distributions into layer optical depths.
 
     Parameters
@@ -100,6 +108,12 @@ def mix_gas_k(del_g, k_gas, amounts, nstraddle=None, g_edges=None):
             "mix_gas_k needs static (numpy) del_g to derive bin edges and the"
             " straddle bound; pass the host-side copy kept in the run config"
         )
+    if use_pallas is None:
+        use_pallas = _pallas_default() and k_gas.dtype == jnp.float32
+    if use_pallas and ngas > 1:
+        from archnemesis_tpu.ops.overlap_pallas import mix_gas_k_pallas
+
+        return mix_gas_k_pallas(del_g, k_gas, amounts)
     del_g_np = np.asarray(del_g)
     if g_edges is None:
         g_edges = jnp.asarray(g_bin_edges(del_g_np))
