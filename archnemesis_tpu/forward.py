@@ -473,6 +473,7 @@ def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
         itanhe=itanhe,
         lo=np.asarray(lo), hi=np.asarray(hi),
         wlo=np.asarray(wlo), whi=np.asarray(whi),
+        baseh_tan=baseh_tan, tanhe_km=tanhe,
     )
 
 
@@ -485,6 +486,8 @@ def forward_so(
     cfg: ForwardConfig,
     geo: dict,
     return_diagnostics: bool = False,
+    tanhe_shift=None,
+    solflux=None,
 ):
     """Solar-occultation forward model: one transmission spectrum per
     measured tangent height (reference nemesisSOfm ForwardModel_0.py:783 +
@@ -494,6 +497,12 @@ def forward_so(
     in one opacity evaluation (the reference's geometry-batching trick, the
     default here); path spectra are interpolated to the measured tangent
     heights with the static stencil from ``so_geometry``.
+
+    ``tanhe_shift`` (km, may be traced — model 777 retrieves it) switches
+    the tangent interpolation to a differentiable searchsorted/gather over
+    the path tangent heights. ``solflux`` (NWAVE,) multiplies the
+    transmission for IFORM=Atmospheric_transmission (reference
+    calculate_transmission_spectrum ForwardModel_0.py:4114-4122).
     """
     from archnemesis_tpu.rt.path import limb_paths
 
@@ -508,10 +517,20 @@ def forward_so(
         cfg, wave, taus["tautot"], paths, None, ktab.del_g
     )  # (NWAVE, NPATH) transmission
 
-    specmod = (
-        spec[:, jnp.asarray(geo["lo"])] * jnp.asarray(geo["wlo"])[None, :]
-        + spec[:, jnp.asarray(geo["hi"])] * jnp.asarray(geo["whi"])[None, :]
-    )  # (NWAVE, NGEOM)
+    if tanhe_shift is None:
+        specmod = (
+            spec[:, jnp.asarray(geo["lo"])] * jnp.asarray(geo["wlo"])[None, :]
+            + spec[:, jnp.asarray(geo["hi"])] * jnp.asarray(geo["whi"])[None, :]
+        )  # (NWAVE, NGEOM)
+    else:
+        bt = jnp.asarray(geo["baseh_tan"])  # (NPATH,) km, ascending
+        th = jnp.asarray(geo["tanhe_km"]) + tanhe_shift  # (NGEOM,)
+        idx = jnp.clip(jnp.searchsorted(bt, th) - 1, 0, bt.shape[0] - 2)
+        w = (th - bt[idx]) / (bt[idx + 1] - bt[idx])
+        w = jnp.clip(w, 0.0, 1.0)
+        specmod = spec[:, idx] * (1.0 - w)[None, :] + spec[:, idx + 1] * w[None, :]
+    if solflux is not None:
+        specmod = specmod * solflux[:, None]
     if return_diagnostics:
         return specmod, {"layers": layers, "paths": paths, **taus,
                          "spec_paths": spec}

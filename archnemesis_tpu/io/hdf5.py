@@ -52,8 +52,13 @@ def _read_atmosphere_group(a) -> Atmosphere:
     planet = _scalar(a, "IPLANET")
     lat = _scalar(a, "LATITUDE", float, 0.0)
 
-    masses = gas_molwt_per_column(gas_id, iso_id)
-    molwt = np.asarray(calc_molwt(vmr, masses))
+    if "MOLWT" in a:
+        # AMFORM=0 carries an explicit molwt profile (reference
+        # Atmosphere_0.write_hdf5 stores it; legacy .ref column 4)
+        molwt = a["MOLWT"][()].astype(float)
+    else:
+        masses = gas_molwt_per_column(gas_id, iso_id)
+        molwt = np.asarray(calc_molwt(vmr, masses))
     grav, radius = calc_grav(h, lat, planet)
     return Atmosphere(
         h=h, p=p, t=t, vmr=vmr, dust=dust,
@@ -135,9 +140,36 @@ def load_deck_hdf5(path: str) -> Deck:
         ispace = _scalar(m, "ISPACE", default=0)
         iform = _scalar(m, "IFORM", default=0)
         v_doppler = _scalar(m, "V_DOPPLER", float, 0.0)
+        vnorm = _scalar(m, "VNORM", float, None)  # IFORM=5 (Measurement_0.py:563)
 
         # --- Spectroscopy
         ktab, ilbl = _read_tables(f["Spectroscopy"], base_dir)
+        table_locations = tuple(
+            x.decode() if isinstance(x, bytes) else str(x)
+            for x in f["Spectroscopy"]["LOCATION"][()]
+        )
+
+        # --- CIA (reference CIA_0.read_hdf5:250: a named table + INORMAL)
+        cia = None
+        cia_table = None
+        if "CIA" in f:
+            from archnemesis_tpu.io.legacy import REFERENCE_DATA
+            from archnemesis_tpu.io.cia import read_cia_h5, read_cia_tab
+
+            cg = f["CIA"]
+            name = cg["CIATABLE"][()]
+            name = name.decode() if isinstance(name, bytes) else str(name)
+            inormal_cia = ParaH2Ratio(_scalar(cg, "INORMAL", default=0))
+            dnu = _scalar(cg, "DNU", float, 10.0)
+            npara = _scalar(cg, "NPARA", default=0)
+            tp = name if os.path.isabs(name) else os.path.join(
+                REFERENCE_DATA, "Data", "cia", name)
+            if not os.path.exists(tp):
+                tp = os.path.join(base_dir, name)
+            cia = (read_cia_h5(tp, inormal=inormal_cia) if tp.endswith(".h5")
+                   else read_cia_tab(tp, dnu=dnu, npara=npara,
+                                     inormal=inormal_cia))
+            cia_table = (name, dnu, npara)
 
         # --- Telluric (reference Telluric_0.read_hdf5:141: /Telluric group
         # with a nested Atmosphere + Spectroscopy)
@@ -206,10 +238,126 @@ def load_deck_hdf5(path: str) -> Deck:
         isol=stellar is not None,
         dist=float(np.asarray(stellar.dist)) if stellar is not None else 0.0,
         lowbc=surf.lowbc, galb=float(surf.galb), tsurf=tsurf,
-        v_doppler=v_doppler, ishape=ishape,
+        v_doppler=v_doppler, ishape=ishape, vnorm=vnorm,
     )
     return Deck(
         atmosphere=atm, layer_config=laycfg, geometry=geom,
-        settings=settings, ktables=ktab, cia=None, aerosol=aero,
+        settings=settings, ktables=ktab, cia=cia, aerosol=aero,
         surface=surf, stellar=stellar, apr_path=None, telluric=telluric,
+        table_locations=table_locations, cia_table=cia_table,
     )
+
+
+def write_deck_hdf5(path: str, deck: Deck) -> None:
+    """Write a Deck as a single ``runname.h5`` run file readable by
+    ``load_deck_hdf5`` — the legacy->HDF5 conversion flow (reference
+    Files.write_input_files_hdf5 via the per-class write_hdf5 methods,
+    e.g. Atmosphere_0.write_hdf5:414, Measurement_0.write_hdf5:475).
+
+    Spectral tables and CIA stay on disk as external files; the run file
+    stores their locations (reference Spectroscopy/CIA groups do the same).
+    """
+    import h5py
+
+    st = deck.settings
+    atm = deck.atmosphere
+    g = deck.geometry
+    with h5py.File(path, "w") as f:
+        a = f.create_group("Atmosphere")
+        a["H"] = np.asarray(atm.h, dtype=np.float64)
+        a["P"] = np.asarray(atm.p, dtype=np.float64)
+        a["T"] = np.asarray(atm.t, dtype=np.float64)
+        a["VMR"] = np.asarray(atm.vmr, dtype=np.float64)
+        if atm.ndust > 0:
+            a["DUST"] = np.asarray(atm.dust, dtype=np.float64)
+        a["ID"] = np.asarray(atm.gas_id, dtype=np.int32)
+        a["ISO"] = np.asarray(atm.iso_id, dtype=np.int32)
+        a["AMFORM"] = int(atm.amform)
+        if int(atm.amform) == 0:
+            a["MOLWT"] = np.asarray(atm.molwt, dtype=np.float64)
+        a["IPLANET"] = int(atm.planet)
+        a["LATITUDE"] = float(np.asarray(atm.latitude))
+
+        ly = f.create_group("Layer")
+        ly["NLAY"] = int(deck.layer_config.nlay)
+        ly["LAYTYP"] = int(deck.layer_config.laytyp)
+        ly["LAYINT"] = int(deck.layer_config.layint)
+        ly["LAYHT"] = float(deck.layer_config.layht)
+        if deck.layer_config.h_base is not None:
+            ly["H_base"] = np.asarray(deck.layer_config.h_base, np.float64)
+        if deck.layer_config.p_base is not None:
+            ly["P_base"] = np.asarray(deck.layer_config.p_base, np.float64)
+
+        m = f.create_group("Measurement")
+        m["NGEOM"] = int(g.ngeom)
+        m["NCONV"] = np.asarray(g.nconv, dtype=np.int32)
+        m["NAV"] = np.asarray(g.nav, dtype=np.int32)
+        # VCONV already carries any .spx offset; write WOFF=0 so a
+        # round-trip does not re-apply it
+        m["WOFF"] = 0.0
+        m["VCONV"] = np.asarray(g.vconv, dtype=np.float64)
+        m["MEAS"] = np.asarray(g.meas, dtype=np.float64)
+        m["ERRMEAS"] = np.asarray(g.errmeas, dtype=np.float64)
+        m["FLAT"] = np.asarray(g.flat, dtype=np.float64)
+        m["FLON"] = np.asarray(g.flon, dtype=np.float64)
+        m["SOL_ANG"] = np.asarray(g.sol_ang, dtype=np.float64)
+        m["EMISS_ANG"] = np.asarray(g.emiss_ang, dtype=np.float64)
+        m["AZI_ANG"] = np.asarray(g.azi_ang, dtype=np.float64)
+        m["WGEOM"] = np.asarray(g.wgeom, dtype=np.float64)
+        if g.tanhe is not None:
+            m["TANHE"] = np.asarray(g.tanhe, dtype=np.float64)
+        m["FWHM"] = float(g.fwhm)
+        m["LATITUDE"] = float(g.latitude)
+        m["LONGITUDE"] = float(g.longitude)
+        m["ISHAPE"] = int(st.ishape)
+        m["ISPACE"] = int(st.ispace)
+        m["IFORM"] = int(st.iform)
+        m["V_DOPPLER"] = float(st.v_doppler)
+        if st.vnorm is not None:
+            m["VNORM"] = float(st.vnorm)
+
+        sp = f.create_group("Spectroscopy")
+        sp["ILBL"] = int(st.ilbl)
+        locs = deck.table_locations or ()
+        sp["LOCATION"] = np.asarray([s.encode() for s in locs])
+
+        if deck.cia_table is not None:
+            cg = f.create_group("CIA")
+            name, dnu, npara = deck.cia_table
+            cg["CIATABLE"] = name.encode()
+            cg["DNU"] = float(dnu)
+            cg["NPARA"] = int(npara)
+            cg["INORMAL"] = int(st.inormal)
+
+        sc = f.create_group("Scatter")
+        sc["IRAY"] = int(st.iray)
+        sc["IMIE"] = int(st.imie)
+        sc["ISCAT"] = int(st.iscat)
+        sc["NMU"] = int(st.nmu)
+        sc["NF"] = int(st.nf)
+        sc["NPHI"] = int(st.nphi)
+        if deck.aerosol is not None:
+            sc["WAVE"] = np.asarray(deck.aerosol.wave, dtype=np.float64)
+            kext = np.asarray(deck.aerosol.kext, dtype=np.float64)
+            ksca = np.asarray(deck.aerosol.ksca, dtype=np.float64)
+            sc["KEXT"] = kext
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sc["SGLALB"] = np.where(kext > 0, ksca / kext, 0.0)
+
+        if deck.surface is not None:
+            su = f.create_group("Surface")
+            su["TSURF"] = float(np.asarray(deck.surface.tsurf))
+            su["VEM"] = np.asarray(deck.surface.vem, dtype=np.float64)
+            su["EMISSIVITY"] = np.asarray(deck.surface.emissivity,
+                                          dtype=np.float64)
+            su["GALB"] = float(np.asarray(deck.surface.galb))
+            su["LOWBC"] = int(deck.surface.lowbc)
+
+        rt = f.create_group("Retrieval")
+        rt["NITER"] = int(st.niter)
+        rt["PHILIMIT"] = float(st.philimit)
+
+    if deck.stellar is not None:
+        from archnemesis_tpu.io.stellar import write_stellar_hdf5
+
+        write_stellar_hdf5(path, deck.stellar)

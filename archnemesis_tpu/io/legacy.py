@@ -93,6 +93,7 @@ class RunSettings:
     mu: tuple = ()
     wtmu: tuple = ()
     ishape: int = 2  # InstrumentLineshape for FWHM>0 (reference default Gaussian, Measurement_0.py:235)
+    vnorm: Optional[float] = None  # IFORM=5 normalisation wavelength (Measurement_0.py:145)
 
 
 @dataclass
@@ -109,6 +110,9 @@ class Deck:
     apr_path: Optional[str] = None
     hgphase: Optional[tuple] = None  # (wave, f, g1, g2) from hgphaseN.dat
     telluric: Optional[object] = None  # rt.telluric.Telluric (HDF5 runs)
+    fwh: Optional[tuple] = None  # (vfwhm, xfwhm) variable-FWHM table (.fwh)
+    table_locations: Optional[tuple] = None  # source .kta/.lta paths
+    cia_table: Optional[tuple] = None  # (name, dnu, npara) from the .cia file
 
 
 def _skip_comments(path):
@@ -203,6 +207,17 @@ def read_inp(path):
     iform = int(lines[7].split()[0]) if len(lines) > 7 else 0
     v_doppler = float(lines[8].split()[0]) if len(lines) > 8 else 0.0
     return ispace, iscat, ilbl, woff, niter, philimit, iform, v_doppler
+
+
+def read_fwh(path):
+    """.fwh file: FWHM varying with wavelength for the k-table FWHM>0
+    convolution (reference Measurement_0.conv FWHMEXIST branch,
+    Measurement_0.py:2383-2400). Returns (vfwhm, xfwhm)."""
+    with open(path) as f:
+        n = int(f.readline().split()[0])
+        rows = np.array([[float(x) for x in f.readline().split()[:2]]
+                         for _ in range(n)])
+    return rows[:, 0], rows[:, 1]
 
 
 def read_fla(path):
@@ -442,9 +457,25 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
 
             ktab = read_lls_runtime(runname + ".lls")
 
+        table_locations = None
+        for lst in (runname + ".kls", runname + ".lls"):
+            if os.path.exists(lst):
+                base = os.path.dirname(os.path.abspath(lst))
+                table_locations = tuple(
+                    ln.strip() if os.path.isabs(ln.strip())
+                    else os.path.join(base, ln.strip())
+                    for ln in open(lst) if ln.strip()
+                )
+                break
+
         cia = None
+        cia_table = None
         if os.path.exists(runname + ".cia"):
             cia = read_cia_file(runname + ".cia", ParaH2Ratio(inormal))
+            with open(runname + ".cia") as fh:
+                cia_table = (fh.readline().split()[0],
+                             float(fh.readline().split()[0]),
+                             int(fh.readline().split()[0]))
 
         aero = read_xsc(runname + ".xsc") if os.path.exists(runname + ".xsc") else None
 
@@ -496,12 +527,15 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
             hg = read_hgphase(aero.ndust)
 
         apr = runname + ".apr" if os.path.exists(runname + ".apr") else None
+        fwh = read_fwh(runname + ".fwh") if os.path.exists(
+            runname + ".fwh") else None
         return Deck(
             atmosphere=atm, layer_config=laycfg, geometry=geom,
             settings=settings, ktables=ktab, cia=cia, aerosol=aero,
             surface=surf, stellar=stellar,
             apr_path=os.path.abspath(apr) if apr else None,
-            hgphase=hg,
+            hgphase=hg, fwh=fwh,
+            table_locations=table_locations, cia_table=cia_table,
         )
     finally:
         os.chdir(cwd)

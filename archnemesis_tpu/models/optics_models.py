@@ -253,9 +253,22 @@ class Model444:
 
         r0 = 0.015 * float(wavel.min())
         rs = (r0, 0.0, r0)  # reference auto mode (Scatter_0.py:1319-1323)
+        # static Mie series caps: the retrieved refractive index is traced
+        # under jacfwd, so the data-dependent caps inside makephase
+        # (Scatter_0.py:1458 analog) cannot be evaluated — bound |m| by 3
+        # (real planetary aerosols stay well under this) and derive the
+        # caps from the static radius/wavelength grid instead
+        from archnemesis_tpu.ops.mie import radius_grid
+
+        radii_np, _, _ = radius_grid(rs, cap=rs_cap)
+        xmax = float(2.0 * np.pi * np.max(radii_np) / wavel.min())
+        n_start = max(150, int(1.2 * 3.0 * xmax) + 20)
+        nmax = min(n_start,
+                   max(60, int(xmax + 4.05 * xmax ** (1.0 / 3.0)) + 20))
         xscat, xext, _, _ = makephase(
             wavel, iscat, pars, rs, refindx,
             np.array([0.0, 90.0]), rs_cap=rs_cap,
+            nmax=nmax, n_start=n_start,
         )
         # back to the aerosol wave ordering, normalise at vnorm
         inv = np.argsort(iord)

@@ -275,3 +275,169 @@ def write_itr(path, setup, records):
             for i in range(sv.nx):
                 for j in range(ny):
                     f.write(f"{kk[j, i]:09.4E}\n")
+
+
+def write_output_hdf5(path, setup, res, write_cov=True):
+    """Append the retrieval results to the run's HDF5 file (reference
+    OptimalEstimation_0.write_output_hdf5:288): /Retrieval with the OE
+    vectors/matrices under Output/OptimalEstimation, plus the per-model
+    a-priori/retrieved parameters (unlogged) under Output/Parameters."""
+    import h5py
+
+    sv = setup.sv
+    st = setup.deck.settings
+    with h5py.File(path, "a") as f:
+        if "Retrieval" in f:
+            del f["Retrieval"]
+        grp = f.create_group("Retrieval")
+        grp["NITER"] = int(st.niter)
+        grp["PHILIMIT"] = float(st.philimit)
+        grp["IRET"] = 0  # optimal estimation
+
+        oe = grp.create_group("Output/OptimalEstimation")
+        oe["PHI"] = float(res.phi)
+        oe["CHISQ"] = float(res.chisq)
+        oe["NY"] = int(setup.y.shape[0])
+        oe["Y"] = np.asarray(setup.y, dtype=np.float64)
+        oe["SE"] = np.sqrt(np.diag(np.asarray(setup.se)))
+        oe["YN"] = np.asarray(res.yn, dtype=np.float64)
+        if write_cov:
+            oe["NX"] = int(sv.nx)
+            oe["XN"] = np.asarray(res.xn, dtype=np.float64)
+            oe["SX"] = np.asarray(res.st, dtype=np.float64)
+            oe["XA"] = np.asarray(sv.xa, dtype=np.float64)
+            oe["SA"] = np.asarray(sv.sa, dtype=np.float64)
+            oe["KK"] = np.asarray(res.kk, dtype=np.float64)
+            oe["AA"] = np.asarray(res.aa, dtype=np.float64)
+            oe["DD"] = np.asarray(res.dd, dtype=np.float64)
+
+        # per-model parameters in .apr form (unlogged; reference :368-401)
+        nvar = len(sv.entries)
+        nxmax = max(e.nx for e in sv.entries)
+        apr = np.zeros((nxmax, nvar))
+        apr_err = np.zeros((nxmax, nvar))
+        ret = np.zeros((nxmax, nvar))
+        ret_err = np.zeros((nxmax, nvar))
+        for iv, e in enumerate(sv.entries):
+            for i in range(e.nx):
+                ix = e.ix + i
+                xa1 = sv.xa[ix]
+                ea1 = np.sqrt(abs(sv.sa[ix, ix]))
+                xn1 = res.xn[ix]
+                en1 = np.sqrt(abs(res.st[ix, ix]))
+                if sv.lx[ix] == 1:
+                    xa1 = np.exp(xa1)
+                    ea1 = xa1 * ea1
+                    xn1 = np.exp(xn1)
+                    en1 = xn1 * en1
+                apr[i, iv], apr_err[i, iv] = xa1, ea1
+                ret[i, iv], ret_err[i, iv] = xn1, en1
+
+        par = grp.create_group("Output/Parameters")
+        par["NVAR"] = nvar
+        par["NXVAR"] = np.asarray([e.nx for e in sv.entries], dtype=np.int32)
+        par["VARIDENT"] = np.asarray([e.varident for e in sv.entries],
+                                     dtype=np.int32)
+        par["APRPARAM"] = apr
+        par["APRERRPARAM"] = apr_err
+        par["RETPARAM"] = ret
+        par["RETERRPARAM"] = ret_err
+
+
+def read_output_hdf5(path):
+    """Read back a /Retrieval group written by write_output_hdf5."""
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        oe = f["Retrieval/Output/OptimalEstimation"]
+        for k in oe.keys():
+            out[k.lower()] = np.asarray(oe[k][()])
+        par = f["Retrieval/Output/Parameters"]
+        for k in par.keys():
+            out[k.lower()] = np.asarray(par[k][()])
+    return out
+
+
+def read_mre(path):
+    """Read back a .mre summary (reference Files.read_mre:594): the fitted
+    spectrum block plus the per-variable retrieved parameters."""
+    with open(path) as f:
+        f.readline()
+        t = f.readline().split()
+        ispec, ngeom, ny, nx = int(t[0]), int(t[1]), int(t[2]), int(t[3])
+        t = f.readline().split()
+        lat, lon = float(t[0]), float(t[1])
+        f.readline()  # units line
+        f.readline()  # column header
+        spec = np.array(
+            [[float(x) for x in f.readline().split()] for _ in range(ny)]
+        )
+        # blank line then "nvar=    N"
+        line = f.readline()
+        while line.strip() == "":
+            line = f.readline()
+        nvar = int(line.split("=")[1])
+        varident, varparam = [], []
+        xa = np.zeros(nx)
+        sa_err = np.zeros(nx)
+        xn = np.zeros(nx)
+        xn_err = np.zeros(nx)
+        for _ in range(nvar):
+            f.readline()  # "Variable N"
+            varident.append([int(x) for x in f.readline().split()])
+            varparam.append([float(x) for x in f.readline().split()])
+            f.readline()  # column header
+            while True:
+                pos = f.tell()
+                line = f.readline()
+                t = line.split()
+                if not t or not t[0].lstrip("-").isdigit():
+                    f.seek(pos)
+                    break
+                ix = int(t[1]) - 1
+                xa[ix], sa_err[ix], xn[ix], xn_err[ix] = (
+                    float(t[2]), float(t[3]), float(t[4]), float(t[5])
+                )
+    return dict(
+        ispec=ispec, ngeom=ngeom, ny=ny, nx=nx, lat=lat, lon=lon,
+        vconv=spec[:, 1], y=spec[:, 2], yerr=spec[:, 3], yn=spec[:, 5],
+        nvar=nvar, varident=np.asarray(varident),
+        varparam=np.asarray(varparam),
+        xa=xa, sa_err=sa_err, xn=xn, xn_err=xn_err,
+    )
+
+
+def read_cov(path):
+    """Read back a .cov matrices file (reference Files.read_cov:760)."""
+    with open(path) as f:
+        t = f.readline().split()
+        nvar = int(t[1])
+        varident, varparam = [], []
+        for _ in range(nvar):
+            varident.append([int(x) for x in f.readline().split()])
+            varparam.append([float(x) for x in f.readline().split()])
+        t = f.readline().split()
+        nx, ny = int(t[0]), int(t[1])
+
+        def block(n):
+            return np.array([float(f.readline()) for _ in range(n)])
+
+        sa = np.zeros((nx, nx))
+        sm = np.zeros((nx, nx))
+        sn = np.zeros((nx, nx))
+        st = np.zeros((nx, nx))
+        for i in range(nx):
+            sa[i] = block(nx)
+            sm[i] = block(nx)
+            sn[i] = block(nx)
+            st[i] = block(nx)
+        aa = np.array([block(nx) for _ in range(nx)])
+        dd = np.array([block(ny) for _ in range(nx)])
+        kk = np.array([block(nx) for _ in range(ny)])
+        se = block(ny)
+    return dict(
+        nvar=nvar, varident=np.asarray(varident),
+        varparam=np.asarray(varparam), nx=nx, ny=ny,
+        sa=sa, sm=sm, sn=sn, st=st, aa=aa, dd=dd, kk=kk, se=se,
+    )

@@ -20,6 +20,7 @@ from archnemesis_tpu.enums import ScatteringCalculationMode, SpectraUnit
 from archnemesis_tpu.forward import forward_limb, forward_nadir, make_forward_config
 from archnemesis_tpu.io.ktables import read_kls, read_lls
 from archnemesis_tpu.io.legacy import Deck, load_deck
+from archnemesis_tpu.ops import convolution as conv_mod
 from archnemesis_tpu.ops.convolution import (
     apply_ils,
     conv_channel_interp,
@@ -80,10 +81,32 @@ def make_retrieval_setup(
 
         deck = dataclasses.replace(deck, atmosphere=atm_override)
     st = deck.settings
-    if deck.settings.iscat != ScatteringCalculationMode.THERMAL_EMISSION:
-        raise NotImplementedError("only thermal-emission retrievals wired so far")
-    if deck.settings.iform != SpectraUnit.Radiance:
-        raise NotImplementedError("only IFORM=Radiance wired so far")
+    iscat = ScatteringCalculationMode(deck.settings.iscat)
+    if iscat not in (
+        ScatteringCalculationMode.THERMAL_EMISSION,
+        ScatteringCalculationMode.MULTIPLE_SCATTERING,
+        ScatteringCalculationMode.SINGLE_SCATTERING_PLANE_PARALLEL,
+    ):
+        raise NotImplementedError(
+            f"ISCAT={iscat!r}: only thermal emission, multiple scattering "
+            "and plane-parallel single scattering are wired as retrieval "
+            "drivers (the reference's other modes are diagnostic flux "
+            "calculations, ForwardModel_0.py:4338-4341)")
+    if deck.settings.iform not in (
+        SpectraUnit.Radiance,
+        SpectraUnit.Normalised_radiance,
+        SpectraUnit.Integrated_radiance,
+    ):
+        # FluxRatio / TransitDepth / Integrated_spectral_power belong to the
+        # disc-average and transit drivers; Atmospheric_transmission to the
+        # SO driver (reference nemesisdiscfm/nemesisPTfm/nemesisSOfm).
+        raise NotImplementedError(
+            f"IFORM={deck.settings.iform!r} is not a nadir/limb radiance unit"
+        )
+    if (deck.settings.iform == SpectraUnit.Normalised_radiance
+            and deck.settings.vnorm is None):
+        raise ValueError("IFORM=Normalised_radiance requires VNORM "
+                         "(reference Measurement_0.assess:344)")
 
     sv = (
         sv_override
@@ -105,11 +128,30 @@ def make_retrieval_setup(
     from archnemesis_tpu.enums import InstrumentLineshape
     from archnemesis_tpu.io.linedata import RuntimeLBL
 
+    from archnemesis_tpu.ops.convolution import (
+        conv_quad_weights,
+        doppler_corrected_wave,
+        integrate_filter_weights,
+        invert_doppler_shift,
+    )
+    from archnemesis_tpu.enums import SpectralCalculationMode
+
+    has_447 = any(e.model_id == 447 for e in sv.entries)
     geoms = []
     for ig in range(geom.ngeom):
         nc = geom.nconv[ig]
         vconv = geom.vconv[:nc, ig]
-        if geom.fwhm == 0.0:
+        if st.iform == SpectraUnit.Integrated_radiance:
+            # filter integration replaces ILS convolution entirely
+            # (reference nemesisfm ForwardModel_0.py:556-559)
+            if geom.nfil is None:
+                raise ValueError("IFORM=Integrated_radiance requires a .fil "
+                                 "filter file (FWHM<0)")
+            wavemin = geom.vfil[0, :].min()
+            wavemax = max(geom.vfil[geom.nfil[j] - 1, j]
+                          for j in range(geom.nfil.shape[0]))
+            ils_w = "intfilter"
+        elif geom.fwhm == 0.0:
             wavemin, wavemax = vconv[0], vconv[-1]
             ils_w = None
         elif geom.fwhm > 0.0:
@@ -145,20 +187,53 @@ def make_retrieval_setup(
                 ils_w = "filter"
             else:
                 raise ValueError("FWHM<0 requires a .fil file or an ILS model")
+        # a Doppler shift widens the needed rest-frame calc range
+        # (reference calc_wave_range Measurement_0.py:2113-2115)
+        if st.v_doppler != 0.0:
+            lo = invert_doppler_shift(wavemin, st.v_doppler, st.ispace)
+            hi = invert_doppler_shift(wavemax, st.v_doppler, st.ispace)
+            wavemin, wavemax = min(wavemin, lo), max(wavemax, hi)
         if isinstance(deck.ktables, RuntimeLBL):
             ktw = deck.ktables.windowed(wavemin, wavemax)
         else:
             ktw = _windowed_ktab(deck, wavemin, wavemax)
+        # ILS weight matrices live on the observer-frame (Doppler-corrected)
+        # calc grid (reference conv/lblconv correct Wave first,
+        # Measurement_0.py:2149)
+        wavecorr = doppler_corrected_wave(
+            np.asarray(ktw.wave), st.v_doppler, st.ispace)
         if ils_w is True:
-            ils_w = jnp.asarray(ils_weights_lbl(
-                np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm,
-                InstrumentLineshape(st.ishape),
-            ))
+            if st.ilbl == SpectralCalculationMode.K_TABLES:
+                # k-table mode convolves via the conv() spline quadrature,
+                # with optional per-channel FWHM from a .fwh table
+                vf, xf = deck.fwh if deck.fwh is not None else (None, None)
+                ils_w = jnp.asarray(conv_quad_weights(
+                    wavecorr, np.asarray(vconv), geom.fwhm,
+                    vfwhm=vf, xfwhm=xf,
+                ))
+            else:
+                ils_w = jnp.asarray(ils_weights_lbl(
+                    wavecorr, np.asarray(vconv), geom.fwhm,
+                    InstrumentLineshape(st.ishape),
+                ))
         elif isinstance(ils_w, str) and ils_w == "filter":
             ils_w = jnp.asarray(ils_weights_filter(
-                np.asarray(ktw.wave), np.asarray(vconv),
+                wavecorr, np.asarray(vconv),
                 geom.nfil, geom.vfil, geom.afil,
             ))
+        elif isinstance(ils_w, str) and ils_w == "intfilter" and not has_447:
+            ils_w = ("intfilter_static", jnp.asarray(integrate_filter_weights(
+                wavecorr, np.asarray(vconv),
+                geom.nfil, geom.vfil, geom.afil,
+            )))
+        if has_447 and not (
+            ils_w is None
+            or (isinstance(ils_w, str) and ils_w in ("dynamic", "intfilter"))
+        ):
+            raise NotImplementedError(
+                "model 447 (retrieved Doppler) needs a differentiable "
+                "convolution path: FWHM=0, ILS models 228/229/230, or "
+                "IFORM=Integrated_radiance")
         geoms.append((ig, vconv, ktw, ils_w))
 
     cfg = make_forward_config(
@@ -169,6 +244,14 @@ def make_retrieval_setup(
         ispace=deck.settings.ispace,
         gasgiant=deck.surface.gasgiant,
     )
+
+    quad = None
+    if iscat == ScatteringCalculationMode.MULTIPLE_SCATTERING:
+        from archnemesis_tpu.rt.scattering import ScatterQuadrature
+
+        quad = ScatterQuadrature(
+            mu=st.mu, wtmu=st.wtmu, nf=st.nf, nphi=st.nphi
+        )
 
     def forward_fn(xn):
         atm = apply_state(deck.atmosphere, xn, sv)
@@ -195,6 +278,11 @@ def make_retrieval_setup(
             if deck.telluric is not None
             else None
         )
+        # measurement-domain models (447: retrieved Doppler velocity)
+        meas_state = apply_domain(
+            sv, xn, "measurement", {"v_doppler": st.v_doppler}
+        )
+        v_dop = meas_state["v_doppler"]
         out = []
         for ig, vconv, ktw, ils_w in geoms:
             nav = geom.nav[ig]
@@ -210,20 +298,54 @@ def make_retrieval_setup(
                 iav for iav in range(nav) if geom.emiss_ang[ig, iav] < 0.0
             ]
             for iav in nadir_iavs:
-                spec = forward_nadir(
-                    atm,
-                    deck.layer_config,
-                    ktw,
-                    cia,
-                    aero,
-                    surf,
-                    cfg,
-                    emiss_ang=geom.emiss_ang[ig, iav],
-                    sol_ang=geom.sol_ang[ig, iav],
-                    azi_ang=geom.azi_ang[ig, iav],
-                )[:, 0]
+                if iscat == ScatteringCalculationMode.MULTIPLE_SCATTERING:
+                    from archnemesis_tpu.forward import (
+                        forward_scattering_nadir,
+                    )
+
+                    spec = forward_scattering_nadir(
+                        atm, deck.layer_config, ktw, cia, aero, surf,
+                        deck.stellar, cfg, quad, deck.hgphase,
+                        emiss_ang=geom.emiss_ang[ig, iav],
+                        sol_ang=geom.sol_ang[ig, iav],
+                        azi_ang=geom.azi_ang[ig, iav],
+                        iray_phase=st.iray > 0,
+                    )[:, 0]
+                elif iscat == (
+                    ScatteringCalculationMode.SINGLE_SCATTERING_PLANE_PARALLEL
+                ):
+                    from archnemesis_tpu.forward import (
+                        forward_singlescat_nadir,
+                    )
+
+                    spec = forward_singlescat_nadir(
+                        atm, deck.layer_config, ktw, cia, aero, surf,
+                        deck.stellar, cfg, deck.hgphase,
+                        emiss_ang=geom.emiss_ang[ig, iav],
+                        sol_ang=geom.sol_ang[ig, iav],
+                        azi_ang=geom.azi_ang[ig, iav],
+                        iray_phase=st.iray > 0,
+                    )[:, 0]
+                else:
+                    spec = forward_nadir(
+                        atm,
+                        deck.layer_config,
+                        ktw,
+                        cia,
+                        aero,
+                        surf,
+                        cfg,
+                        emiss_ang=geom.emiss_ang[ig, iav],
+                        sol_ang=geom.sol_ang[ig, iav],
+                        azi_ang=geom.azi_ang[ig, iav],
+                    )[:, 0]
                 spec_sum = spec_sum + geom.wgeom[ig, iav] * spec
                 wsum = wsum + geom.wgeom[ig, iav]
+            if limb_iavs and iscat != ScatteringCalculationMode.THERMAL_EMISSION:
+                raise NotImplementedError(
+                    "limb geometries with scattering are not wired "
+                    "(the reference nemesisfm computes limb paths in "
+                    "thermal emission only)")
             if limb_iavs:
                 tanhe = jnp.asarray(
                     [geom.sol_ang[ig, iav] for iav in limb_iavs]
@@ -251,27 +373,351 @@ def make_retrieval_setup(
                     v_doppler=st.v_doppler, ispace=st.ispace,
                 )
             vconv_out = vconv
+            # observer-frame calc grid (reference corrects Wave by the
+            # Doppler shift inside conv/lblconv, Measurement_0.py:2149);
+            # differentiable in v_dop when model 447 retrieves it
+            wave_obs = conv_mod.doppler_corrected_wave(
+                jnp.asarray(ktw.wave), v_dop, st.ispace
+            )
             if ils_w is None:
                 conv = conv_channel_interp(
-                    ktw.wave, spec_avg, jnp.asarray(vconv)
+                    wave_obs, spec_avg, jnp.asarray(vconv)
                 )
             elif isinstance(ils_w, str) and ils_w == "dynamic":
                 vconv_d, off, fw, amp = apply_ils_models(
                     sv, xn, ig, jnp.asarray(vconv)
                 )
                 w = double_gauss_ils_weights(
-                    jnp.asarray(ktw.wave), vconv_d, off, fw, amp
+                    wave_obs, vconv_d, off, fw, amp
                 )
                 conv = apply_ils(w, spec_avg)
                 vconv_out = vconv_d
+            elif isinstance(ils_w, str) and ils_w == "intfilter":
+                conv = conv_mod.integrate_filter_apply(
+                    ktw.wave, spec_avg, geom.nfil, geom.vfil, geom.afil,
+                    v_doppler=v_dop, ispace=st.ispace,
+                )
+            elif isinstance(ils_w, tuple) and ils_w[0] == "intfilter_static":
+                conv = apply_ils(ils_w[1], spec_avg)
             else:
                 conv = apply_ils(ils_w, spec_avg)
+            if st.iform == SpectraUnit.Normalised_radiance:
+                # normalise to the radiance at VNORM (reference nemesisfm
+                # ForwardModel_0.py:581-583)
+                conv = conv / jnp.interp(
+                    st.vnorm, jnp.asarray(vconv_out), conv
+                )
             out.append(apply_spectrum_models(sv, xn, ig, vconv_out, conv))
         return jnp.concatenate(out)
 
     return RetrievalSetup(
         deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
         vconv_list=[g[1] for g in geoms],
+    )
+
+
+def make_retrieval_setup_so(
+    deck_dir: str, runname: str, atm_override=None, sv_override=None
+) -> RetrievalSetup:
+    """SO (limb-transmission) retrieval setup (reference nemesisSOfm,
+    ForwardModel_0.py:783): one layering for all tangent heights, all
+    tangent paths in one batched opacity evaluation, lblconv over all
+    geometries, optional solar-flux multiply for
+    IFORM=Atmospheric_transmission.
+    """
+    import dataclasses
+    import os
+
+    from archnemesis_tpu.enums import InstrumentLineshape
+    from archnemesis_tpu.forward import forward_so, so_geometry, solar_flux
+    from archnemesis_tpu.io.hdf5 import load_deck_hdf5
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+
+    h5 = os.path.join(deck_dir, runname + ".h5")
+    if os.path.exists(h5):
+        deck = load_deck_hdf5(h5)
+        apr = os.path.join(deck_dir, runname + ".apr")
+        if os.path.exists(apr):
+            deck = dataclasses.replace(deck, apr_path=apr)
+    else:
+        deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
+    st = deck.settings
+    geom = deck.geometry
+    if geom.tanhe is None:
+        raise ValueError("SO retrieval needs tangent heights (TANHE)")
+    tanhe = np.asarray(geom.tanhe)
+    if tanhe.ndim == 2:  # (NGEOM, NAV) -> one tangent height per geometry
+        tanhe = tanhe[:, 0]
+
+    sv = (sv_override if sv_override is not None
+          else read_apr(deck.apr_path, deck.atmosphere))
+
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    # shared calc range over all geometries (reference nemesisSOfm builds
+    # the ILS and wave range once over all geoms, ForwardModel_0.py:918-923)
+    vmin = min(float(geom.vconv[: geom.nconv[ig], ig].min())
+               for ig in range(geom.ngeom))
+    vmax = max(float(geom.vconv[: geom.nconv[ig], ig].max())
+               for ig in range(geom.ngeom))
+    ishape = InstrumentLineshape(st.ishape)
+    if geom.fwhm > 0.0:
+        if ishape == InstrumentLineshape.Square:
+            dv = 0.5 * geom.fwhm
+        elif ishape == InstrumentLineshape.Triangular:
+            dv = geom.fwhm
+        else:
+            dv = 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0))
+        vmin, vmax = vmin - dv, vmax + dv
+    if isinstance(deck.ktables, RuntimeLBL):
+        ktw = deck.ktables.windowed(vmin, vmax)
+    else:
+        ktw = _windowed_ktab(deck, vmin, vmax)
+
+    wavecorr = conv_mod.doppler_corrected_wave(
+        np.asarray(ktw.wave), st.v_doppler, st.ispace)
+    ils = []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        vconv = geom.vconv[:nc, ig]
+        if geom.fwhm > 0.0:
+            ils.append(jnp.asarray(ils_weights_lbl(
+                wavecorr, np.asarray(vconv), geom.fwhm, ishape)))
+        elif geom.fwhm < 0.0 and geom.nfil is not None:
+            ils.append(jnp.asarray(ils_weights_filter(
+                wavecorr, np.asarray(vconv),
+                geom.nfil, geom.vfil, geom.afil)))
+        else:
+            ils.append(None)
+
+    geo = so_geometry(deck.atmosphere, deck.layer_config, tanhe)
+    cfg = make_forward_config(
+        deck.atmosphere, ktw, deck.cia,
+        iray=st.iray, ispace=st.ispace, gasgiant=True,
+    )
+    solflux = None
+    if st.iform == SpectraUnit.Atmospheric_transmission:
+        if deck.stellar is None:
+            raise ValueError("IFORM=Atmospheric_transmission requires a "
+                             "stellar spectrum")
+        solflux = solar_flux(deck.stellar, jnp.asarray(ktw.wave))
+    has_777 = any(e.model_id == 777 for e in sv.entries)
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv, adjust_hydrostat=False)
+        meas_state = apply_domain(
+            sv, xn, "measurement",
+            {"v_doppler": st.v_doppler, "tanhe_shift": 0.0},
+        )
+        shift = meas_state["tanhe_shift"] if has_777 else None
+        spec = forward_so(
+            atm, deck.layer_config, ktw, deck.cia, deck.aerosol, cfg, geo,
+            tanhe_shift=shift, solflux=solflux,
+        )  # (NWAVE, NGEOM)
+        out = []
+        for ig in range(geom.ngeom):
+            nc = geom.nconv[ig]
+            vconv = geom.vconv[:nc, ig]
+            s = spec[:, ig]
+            if ils[ig] is None:
+                conv = conv_channel_interp(
+                    jnp.asarray(wavecorr), s, jnp.asarray(vconv))
+            else:
+                conv = apply_ils(ils[ig], s)
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[geom.vconv[: geom.nconv[ig], ig]
+                    for ig in range(geom.ngeom)],
+    )
+
+
+def _iform_xfac(iform, atm, stellar, wave):
+    """Spectral unit conversion for disc-averaged outputs (reference
+    ForwardModel_0.py:4359-4367): FluxRatio divides the 4*pi*pi*R^2-scaled
+    radiance by the stellar power spectrum; Integrated_spectral_power just
+    scales. Returns (NWAVE,) or scalar 1.0."""
+    if iform == SpectraUnit.FluxRatio:
+        if stellar is None:
+            raise ValueError("IFORM=FluxRatio requires a stellar spectrum")
+        xfac = np.pi * 4.0 * np.pi * (float(np.asarray(atm.radius)) * 1.0e2) ** 2
+        solpspec = jnp.interp(jnp.asarray(wave),
+                              jnp.asarray(stellar.wave),
+                              jnp.asarray(stellar.solspec))
+        return xfac / solpspec
+    if iform == SpectraUnit.Integrated_spectral_power:
+        return np.pi * 4.0 * np.pi * (float(np.asarray(atm.radius)) * 1.0e2) ** 2
+    return 1.0
+
+
+def make_retrieval_setup_transit(
+    deck_dir: str, runname: str, atm_override=None, sv_override=None
+) -> RetrievalSetup:
+    """Primary-transit retrieval setup (reference nemesisPTfm,
+    ForwardModel_0.py:1838): IFORM=TransitDepth, limb transmission over all
+    layer bases in one batched evaluation, annulus trapezoid integral.
+    Hydrostatic rebalance stays ON inside the differentiated state map
+    (ForwardModel_0.py:1899)."""
+    import dataclasses
+    import os
+
+    from archnemesis_tpu.enums import InstrumentLineshape
+    from archnemesis_tpu.forward import forward_transit
+    from archnemesis_tpu.io.hdf5 import load_deck_hdf5
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+
+    h5 = os.path.join(deck_dir, runname + ".h5")
+    if os.path.exists(h5):
+        deck = load_deck_hdf5(h5)
+        apr = os.path.join(deck_dir, runname + ".apr")
+        if os.path.exists(apr):
+            deck = dataclasses.replace(deck, apr_path=apr)
+    else:
+        deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
+    st = deck.settings
+    if st.iform != SpectraUnit.TransitDepth:
+        raise ValueError(
+            "transit retrievals need IFORM=TransitDepth "
+            "(reference nemesisPTfm check, ForwardModel_0.py:1882)")
+    if deck.stellar is None or float(np.asarray(deck.stellar.radius)) <= 0:
+        raise ValueError("transit retrievals need a stellar radius")
+    geom = deck.geometry
+    sv = (sv_override if sv_override is not None
+          else read_apr(deck.apr_path, deck.atmosphere))
+
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    vmin = min(float(geom.vconv[: geom.nconv[ig], ig].min())
+               for ig in range(geom.ngeom))
+    vmax = max(float(geom.vconv[: geom.nconv[ig], ig].max())
+               for ig in range(geom.ngeom))
+    ishape = InstrumentLineshape(st.ishape)
+    if geom.fwhm > 0.0:
+        dv = (0.5 * geom.fwhm if ishape == InstrumentLineshape.Square
+              else geom.fwhm if ishape == InstrumentLineshape.Triangular
+              else 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0)))
+        vmin, vmax = vmin - dv, vmax + dv
+    if isinstance(deck.ktables, RuntimeLBL):
+        ktw = deck.ktables.windowed(vmin, vmax)
+    else:
+        ktw = _windowed_ktab(deck, vmin, vmax)
+
+    cfg = make_forward_config(
+        deck.atmosphere, ktw, deck.cia,
+        iray=st.iray, ispace=st.ispace, gasgiant=True,
+    )
+    ils = []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        vconv = geom.vconv[:nc, ig]
+        if geom.fwhm > 0.0:
+            ils.append(jnp.asarray(ils_weights_lbl(
+                np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm, ishape)))
+        else:
+            ils.append(None)
+    r_star_km = float(np.asarray(deck.stellar.radius)) / 1.0e3
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv, adjust_hydrostat=True)
+        depth = forward_transit(
+            atm, deck.layer_config, ktw, deck.cia, deck.aerosol, cfg,
+            stellar_radius_km=r_star_km,
+        )
+        out = []
+        for ig in range(geom.ngeom):
+            nc = geom.nconv[ig]
+            vconv = geom.vconv[:nc, ig]
+            conv = (conv_channel_interp(ktw.wave, depth, jnp.asarray(vconv))
+                    if ils[ig] is None else apply_ils(ils[ig], depth))
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[geom.vconv[: geom.nconv[ig], ig]
+                    for ig in range(geom.ngeom)],
+    )
+
+
+def make_retrieval_setup_disc(
+    deck_dir: str, runname: str, nmu: int = 5, phase: float = 0.0,
+    atm_override=None, sv_override=None,
+) -> RetrievalSetup:
+    """Disc-averaged retrieval setup (reference nemesisdiscfm,
+    ForwardModel_0.py:1609 + calc_avepoints_exoplanet
+    Measurement_0.py:1680): the disc quadrature becomes ONE vmapped batch
+    of nadir evaluations; IFORM FluxRatio / Integrated_spectral_power unit
+    conversion applied on the calc grid."""
+    import dataclasses
+
+    from archnemesis_tpu.forward import forward_disc
+    from archnemesis_tpu.rt.disc import disc_quadrature
+
+    deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
+    st = deck.settings
+    geom = deck.geometry
+    sv = (sv_override if sv_override is not None
+          else read_apr(deck.apr_path, deck.atmosphere))
+
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    vmin = min(float(geom.vconv[: geom.nconv[ig], ig].min())
+               for ig in range(geom.ngeom))
+    vmax = max(float(geom.vconv[: geom.nconv[ig], ig].max())
+               for ig in range(geom.ngeom))
+    ktw = _windowed_ktab(deck, vmin, vmax)
+    cfg = make_forward_config(
+        deck.atmosphere, ktw, deck.cia,
+        iray=st.iray, ispace=st.ispace, gasgiant=deck.surface.gasgiant,
+    )
+    quad = disc_quadrature(nmu=nmu, phase=phase)
+    xfac = _iform_xfac(st.iform, deck.atmosphere, deck.stellar, ktw.wave)
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv)
+        surf = apply_domain(sv, xn, "surface", deck.surface)
+        spec = forward_disc(
+            atm, deck.layer_config, ktw, deck.cia, deck.aerosol, surf,
+            cfg, quad,
+        ) * xfac
+        out = []
+        for ig in range(geom.ngeom):
+            nc = geom.nconv[ig]
+            vconv = geom.vconv[:nc, ig]
+            conv = conv_channel_interp(ktw.wave, spec, jnp.asarray(vconv))
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[geom.vconv[: geom.nconv[ig], ig]
+                    for ig in range(geom.ngeom)],
     )
 
 
@@ -359,6 +805,9 @@ def retrieval_nemesis(
     write_outputs: bool = True,
     verbose: bool = False,
     resume: bool = False,
+    nemesis_so: bool = False,
+    nemesis_pt: bool = False,
+    nemesis_disc: bool = False,
 ) -> OEResult:
     """Full retrieval driver (reference retrieval_nemesis Retrievals.py:31):
     load deck, optional LIN chaining from <runname>.pre, OE retrieval, and
@@ -382,7 +831,13 @@ def retrieval_nemesis(
 
     from archnemesis_tpu.retrieval import output as out_mod
 
-    setup = make_retrieval_setup(deck_dir, runname)
+    _setup_fn = (
+        make_retrieval_setup_so if nemesis_so
+        else make_retrieval_setup_transit if nemesis_pt
+        else make_retrieval_setup_disc if nemesis_disc
+        else make_retrieval_setup
+    )
+    setup = _setup_fn(deck_dir, runname)
     st = setup.deck.settings
     sv = setup.sv
     xa = np.array(sv.xa)
@@ -413,7 +868,7 @@ def retrieval_nemesis(
             # variables are zeroed (:262-275) — every matched variable is
             # re-retrieved here, so SF vanishes.
             if lin == 1:
-                setup_prev = make_retrieval_setup(
+                setup_prev = _setup_fn(
                     deck_dir, runname, sv_override=sub_sv
                 )
                 kk_prev = np.asarray(
@@ -429,7 +884,7 @@ def retrieval_nemesis(
             atm_baked = apply_state(
                 setup.deck.atmosphere, jnp.asarray(prev["xn"]), sub_sv
             )
-            setup = make_retrieval_setup(
+            setup = _setup_fn(
                 deck_dir, runname, atm_override=atm_baked
             )
 
@@ -453,4 +908,8 @@ def retrieval_nemesis(
         out_mod.write_raw(base + ".raw", setup, res, setup.deck.atmosphere)
         if res.itr_records:
             out_mod.write_itr(base + ".itr", setup, res.itr_records)
+        if os.path.exists(base + ".h5"):
+            # HDF5-format runs also get the /Retrieval output group
+            # (reference write_output_hdf5, OptimalEstimation_0.py:288)
+            out_mod.write_output_hdf5(base + ".h5", setup, res)
     return res

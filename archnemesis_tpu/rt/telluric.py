@@ -104,3 +104,47 @@ def apply_telluric(
     else:
         wavecorr = wave_calc * (1.0 + v_doppler * 1.0e3 / c)
     return spec * jnp.interp(wavecorr, wave_tel, trans)
+
+
+def extract_atmosphere_circ() -> Atmosphere:
+    """Earth atmosphere from the bundled CIRC case-1 reference profile
+    (reference Telluric_0.extract_atmosphere_circ:378, profile
+    Data/reference_profiles/earth_circ_case1.ref)."""
+    import os
+
+    from archnemesis_tpu.io.legacy import REFERENCE_DATA, read_ref
+
+    path = os.path.join(REFERENCE_DATA, "Data", "reference_profiles",
+                        "earth_circ_case1.ref")
+    return read_ref(path)
+
+
+def extract_atmosphere_era5(date: str = "01-01-2020",
+                            time: str = "00:00:00",
+                            latitude: float = 19.82067,
+                            longitude: float = -155.46806) -> Atmosphere:
+    """ERA5-reanalysis Earth atmosphere at a location/time (reference
+    Telluric_0.extract_atmosphere_era5:178): P/T/H2O/O3 from the Climate
+    Data Store, remaining species (CO2, N2O, CO, CH4, O2, N2) interpolated
+    from the CIRC case-1 profile.
+
+    Requires the optional ``cdsapi`` client and network access to the CDS;
+    neither exists in an egress-free environment, so this raises with the
+    offline alternative instead of hanging.
+    """
+    try:
+        import cdsapi  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "ERA5 extraction needs the optional `cdsapi` package and "
+            "network access to the Copernicus Climate Data Store "
+            "(https://cds.climate.copernicus.eu/api-how-to). In an "
+            "offline environment use extract_atmosphere_circ() — the "
+            "bundled CIRC case-1 standard atmosphere — or load a "
+            "pre-downloaded Earth profile with io.legacy.read_ref()."
+        ) from e
+    raise NotImplementedError(
+        "cdsapi is importable but the ERA5 request flow is not wired in "
+        "this build; use extract_atmosphere_circ() or a pre-downloaded "
+        "profile."
+    )

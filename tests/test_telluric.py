@@ -134,3 +134,28 @@ def test_transmission_matches_reference(case, ref_trans):
     expect = np.interp(wave * (1.0 - 10.0e3 / 299792458.0),
                        np.asarray(wave_out), np.asarray(trans))
     np.testing.assert_allclose(np.asarray(out), expect, rtol=0, atol=2e-6)
+
+
+def test_extract_atmosphere_circ_matches_reference_profile():
+    """Bundled CIRC case-1 Earth profile loads with the expected gases
+    (reference Telluric_0.extract_atmosphere_circ:378)."""
+    import numpy as np
+
+    from archnemesis_tpu.rt.telluric import extract_atmosphere_circ
+
+    atm = extract_atmosphere_circ()
+    assert atm.gas_id == (1, 2, 3, 4, 5, 6, 7, 22)
+    assert atm.h.shape[0] == 54
+    assert np.all(np.diff(np.asarray(atm.h)) > 0)
+    # CO2 VMR ~ 360-400 ppm at the surface in CIRC case 1
+    ico2 = atm.gas_id.index(2)
+    assert 2e-4 < float(np.asarray(atm.vmr)[0, ico2]) < 6e-4
+
+
+def test_extract_atmosphere_era5_gated_offline():
+    import pytest as _pytest
+
+    from archnemesis_tpu.rt.telluric import extract_atmosphere_era5
+
+    with _pytest.raises(NotImplementedError, match="cdsapi"):
+        extract_atmosphere_era5()
