@@ -396,6 +396,7 @@ def make_retrieval_setup(
                 conv = conv_mod.integrate_filter_apply(
                     ktw.wave, spec_avg, geom.nfil, geom.vfil, geom.afil,
                     v_doppler=v_dop, ispace=st.ispace,
+                    v_doppler_nominal=st.v_doppler,
                 )
             elif isinstance(ils_w, tuple) and ils_w[0] == "intfilter_static":
                 conv = apply_ils(ils_w[1], spec_avg)
@@ -477,10 +478,20 @@ def make_retrieval_setup_so(
         else:
             dv = 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0))
         vmin, vmax = vmin - dv, vmax + dv
+    # a Doppler shift widens the needed rest-frame calc range (reference
+    # calc_wave_range Measurement_0.py:2113-2115), same as the nadir driver
+    if st.v_doppler != 0.0:
+        from archnemesis_tpu.ops.convolution import invert_doppler_shift
+
+        lo = invert_doppler_shift(vmin, st.v_doppler, st.ispace)
+        hi = invert_doppler_shift(vmax, st.v_doppler, st.ispace)
+        vmin, vmax = min(vmin, lo), max(vmax, hi)
     if isinstance(deck.ktables, RuntimeLBL):
         ktw = deck.ktables.windowed(vmin, vmax)
     else:
         ktw = _windowed_ktab(deck, vmin, vmax)
+
+    has_447 = any(e.model_id == 447 for e in sv.entries)
 
     wavecorr = conv_mod.doppler_corrected_wave(
         np.asarray(ktw.wave), st.v_doppler, st.ispace)
@@ -497,6 +508,15 @@ def make_retrieval_setup_so(
                 geom.nfil, geom.vfil, geom.afil)))
         else:
             ils.append(None)
+    if has_447 and any(w is not None for w in ils):
+        # static precomputed ILS weights freeze the Doppler correction at
+        # st.v_doppler; a retrieved 447 velocity would be a silent no-op
+        # (reference conv/lblconv re-correct Wave per call,
+        # Measurement_0.py:2149)
+        raise NotImplementedError(
+            "model 447 (retrieved Doppler) in an SO run needs the "
+            "differentiable convolution path (FWHM=0 channel "
+            "interpolation); FWHM>0 / .fil ILS weights are static")
 
     geo = so_geometry(deck.atmosphere, deck.layer_config, tanhe)
     cfg = make_forward_config(
@@ -518,18 +538,23 @@ def make_retrieval_setup_so(
             {"v_doppler": st.v_doppler, "tanhe_shift": 0.0},
         )
         shift = meas_state["tanhe_shift"] if has_777 else None
+        v_dop = meas_state["v_doppler"]
         spec = forward_so(
             atm, deck.layer_config, ktw, deck.cia, deck.aerosol, cfg, geo,
             tanhe_shift=shift, solflux=solflux,
         )  # (NWAVE, NGEOM)
+        # observer-frame grid, differentiable in v_dop for model 447
+        # (reference lblconv corrects Wave first, Measurement_0.py:2149)
+        wave_obs = (conv_mod.doppler_corrected_wave(
+                        jnp.asarray(ktw.wave), v_dop, st.ispace)
+                    if has_447 else jnp.asarray(wavecorr))
         out = []
         for ig in range(geom.ngeom):
             nc = geom.nconv[ig]
             vconv = geom.vconv[:nc, ig]
             s = spec[:, ig]
             if ils[ig] is None:
-                conv = conv_channel_interp(
-                    jnp.asarray(wavecorr), s, jnp.asarray(vconv))
+                conv = conv_channel_interp(wave_obs, s, jnp.asarray(vconv))
             else:
                 conv = apply_ils(ils[ig], s)
             out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
@@ -615,6 +640,14 @@ def make_retrieval_setup_transit(
               else geom.fwhm if ishape == InstrumentLineshape.Triangular
               else 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0)))
         vmin, vmax = vmin - dv, vmax + dv
+    if st.v_doppler != 0.0:
+        # Doppler shift widens the rest-frame calc range (reference
+        # calc_wave_range Measurement_0.py:2113-2115)
+        from archnemesis_tpu.ops.convolution import invert_doppler_shift
+
+        lo = invert_doppler_shift(vmin, st.v_doppler, st.ispace)
+        hi = invert_doppler_shift(vmax, st.v_doppler, st.ispace)
+        vmin, vmax = min(vmin, lo), max(vmax, hi)
     if isinstance(deck.ktables, RuntimeLBL):
         ktw = deck.ktables.windowed(vmin, vmax)
     else:
@@ -633,7 +666,9 @@ def make_retrieval_setup_transit(
                 np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm, ishape)))
         else:
             ils.append(None)
-    r_star_km = float(np.asarray(deck.stellar.radius)) / 1.0e3
+    # StellarSpec.radius is stored in km throughout (reference Stellar_0
+    # docs: "Radius of the star (km)"; io/stellar.py reads RADIUS raw).
+    r_star_km = float(np.asarray(deck.stellar.radius))
 
     def forward_fn(xn):
         atm = apply_state(deck.atmosphere, xn, sv, adjust_hydrostat=True)

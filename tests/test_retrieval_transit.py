@@ -41,7 +41,7 @@ def setup():
             g = f.create_group("Stellar")
             g["SOLEXIST"] = True
             g["DIST"] = 1.5
-            g["RADIUS"] = 6.957e8  # m
+            g["RADIUS"] = 6.957e5  # km (reference Stellar_0 stores km)
             g["ISPACE"] = 0
             g["WAVE"] = np.linspace(3000.0, 4000.0, 32)
             g["SOLSPEC"] = np.full(32, 1.0e20)
