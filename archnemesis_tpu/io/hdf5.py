@@ -75,9 +75,11 @@ def _read_tables(sp, base_dir):
         x.decode() if isinstance(x, bytes) else str(x)
         for x in sp["LOCATION"][()]
     ]
+    from archnemesis_tpu.utils.path_redirect import resolve_path
+
     tables = []
     for loc in locations:
-        tp = loc if os.path.isabs(loc) else os.path.join(base_dir, loc)
+        tp = resolve_path(loc, base_dir)
         if ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
             tables.append(read_lta(tp))
         else:

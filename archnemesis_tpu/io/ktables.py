@@ -14,6 +14,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from archnemesis_tpu.utils.path_redirect import resolve_path
+
 K_PACK_FACTOR = 1.0e20  # reference database/filetypes/lbltable.py:28
 
 
@@ -135,7 +137,7 @@ def read_kls(path: str, wavemin=-np.inf, wavemax=np.inf):
             name = line.strip()
             if not name:
                 continue
-            p = name if os.path.isabs(name) else os.path.join(base, name)
+            p = resolve_path(name, base)
             tables.append(read_kta(p, wavemin, wavemax))
     return tables
 
@@ -149,7 +151,7 @@ def read_lls(path: str, wavemin=-np.inf, wavemax=np.inf):
             name = line.strip()
             if not name:
                 continue
-            p = name if os.path.isabs(name) else os.path.join(base, name)
+            p = resolve_path(name, base)
             tables.append(read_lta(p, wavemin, wavemax))
     return tables
 

@@ -47,13 +47,16 @@ def _bitonic_stages(n: int):
 
 
 def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
-                 edges: np.ndarray, with_tangent: bool):
+                 edges: np.ndarray, n_tan: int):
     """Build the kernel for static (ng, padded element count, weights,
-    bin edges)."""
+    bin edges). ``n_tan`` tangent pairs are co-sorted through the same
+    network (jacfwd pushes NX tangents; sorting once for all of them is
+    what makes analytic Jacobians through the correlated-k path cheap)."""
     n_elem = ng * ng
     stages = _bitonic_stages(e_pad)
     lo_edges = [float(x) for x in edges[:-1]]
     hi_edges = [float(x) for x in edges[1:]]
+    with_tangent = n_tan > 0
 
     def kernel(*refs):
         if with_tangent:
@@ -64,11 +67,10 @@ def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
 
         rows = a_ref.shape[0]
 
-        def pair_sum(x_ref, y_ref, fill):
+        def pair_sum(x, y, fill):
             # (rows, NG) x (rows, NG) -> padded (rows, e_pad) of all sums:
             # chunk i holds x[:, i] + y[:, :] (static concat, no gathers).
-            y = y_ref[:]
-            chunks = [x_ref[:, i:i + 1] + y for i in range(ng)]
+            chunks = [x[:, i:i + 1] + y for i in range(ng)]
             chunks.append(
                 jnp.full((rows, e_pad - n_elem), fill, dtype=y.dtype)
             )
@@ -76,40 +78,45 @@ def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
 
         # pad with the largest finite f32 (not inf: the padding rows get
         # inter == 0 exactly, and 0 * finfo.max == 0 while 0 * inf == NaN)
-        tau = pair_sum(a_ref, b_ref, np.float32(np.finfo(np.float32).max))
+        tau = pair_sum(a_ref[:], b_ref[:],
+                       np.float32(np.finfo(np.float32).max))
         w = jnp.broadcast_to(w2_ref[:], (rows, e_pad))
         payloads = [w]
-        if with_tangent:
-            payloads.append(pair_sum(da_ref, db_ref, 0.0))
+        for t in range(n_tan):
+            payloads.append(pair_sum(da_ref[t], db_ref[t], 0.0))
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, e_pad), 1)
+        # single-sublane lane index: per-stage masks are (1, e_pad) and
+        # broadcast along the row axis inside the selects (a full-tile
+        # iota + bitwise ops per stage measurably costs VPU time)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, e_pad), 1)
 
         # --- bitonic co-sort of tau with payloads
         for size, stride in stages:
-            is_hi = (lane & stride) != 0
-            descending = (lane & size) != 0
+            m_hi = (lane1 & stride) != 0
+            # lanes whose compare-exchange keeps the max: the "high" lane
+            # of each pair in ascending blocks, the "low" one in
+            # descending blocks
+            m_max = m_hi != ((lane1 & size) != 0)
 
             def partner(x):
                 # i^stride: +stride for the low element of each pair,
                 # -stride (== +e_pad-stride circularly) for the high one
                 return jnp.where(
-                    is_hi,
+                    m_hi,
                     pltpu.roll(x, stride, axis=1),
                     pltpu.roll(x, e_pad - stride, axis=1),
                 )
 
             p_tau = partner(tau)
-            # Mosaic can't select between i1 vectors; XOR via f32 instead.
-            ooo = jnp.where(
-                is_hi,
-                (p_tau > tau).astype(jnp.float32),
-                (tau > p_tau).astype(jnp.float32),
+            tau_new = jnp.where(
+                m_max, jnp.maximum(tau, p_tau), jnp.minimum(tau, p_tau)
             )
-            swap = (ooo + descending.astype(jnp.float32)) == 1.0
-            tau = jnp.where(swap, p_tau, tau)
-            payloads = [
-                jnp.where(swap, partner(x), x) for x in payloads
-            ]
+            # exact ties keep both lanes' own payloads (consistent on the
+            # two sides of the pair; equal-tau elements are interchangeable
+            # in the rebin)
+            swap = tau_new != tau
+            payloads = [jnp.where(swap, partner(x), x) for x in payloads]
+            tau = tau_new
 
         w_s = payloads[0]
         # --- inclusive prefix sum of sorted weights (log-stride doubling)
@@ -117,28 +124,34 @@ def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
         shift = 1
         while shift < e_pad:
             shifted = pltpu.roll(ghi, shift, axis=1)
-            ghi = ghi + jnp.where(lane >= shift, shifted, 0.0)
+            ghi = ghi + jnp.where(lane1 >= shift, shifted, 0.0)
             shift *= 2
         glo = ghi - w_s
 
-        # --- interval-overlap rebin into the NG output g-bins
-        def rebin(values, dst):
-            cols = []
-            for j in range(ng):
-                inter = jnp.clip(
-                    jnp.minimum(ghi, hi_edges[j])
-                    - jnp.maximum(glo, lo_edges[j]),
-                    0.0,
-                    None,
+        # --- interval-overlap rebin into the NG output g-bins; the bin
+        # intervals are shared between the primal and every tangent
+        cols = [[] for _ in range(1 + n_tan)]
+        for j in range(ng):
+            inter = jnp.clip(
+                jnp.minimum(ghi, hi_edges[j])
+                - jnp.maximum(glo, lo_edges[j]),
+                0.0,
+                None,
+            )
+            inv_den = 1.0 / jnp.maximum(
+                jnp.sum(inter, axis=1, keepdims=True), np.float32(1e-37)
+            )
+            cols[0].append(
+                jnp.sum(inter * tau, axis=1, keepdims=True) * inv_den
+            )
+            for t in range(n_tan):
+                cols[1 + t].append(
+                    jnp.sum(inter * payloads[1 + t], axis=1, keepdims=True)
+                    * inv_den
                 )
-                num = jnp.sum(inter * values, axis=1, keepdims=True)
-                den = jnp.sum(inter, axis=1, keepdims=True)
-                cols.append(num / jnp.maximum(den, np.float32(1e-37)))
-            dst[:] = jnp.concatenate(cols, axis=1)
-
-        rebin(tau, out_ref)
-        if with_tangent:
-            rebin(payloads[1], dout_ref)
+        out_ref[:] = jnp.concatenate(cols[0], axis=1)
+        for t in range(n_tan):
+            dout_ref[t] = jnp.concatenate(cols[1 + t], axis=1)
 
     return kernel
 
@@ -150,8 +163,22 @@ def _pad_rows(x, rows_pad):
     return jnp.pad(x, ((0, rows_pad - r), (0, 0)))
 
 
+def _tan_row_tile(n_tan: int) -> int:
+    """Row tile under the VMEM budget: ~(n_tan + 4) live (rows, e_pad)
+    tiles during the co-sort."""
+    t = 1024 // (n_tan + 4)
+    p = 1 << max(t, 8).bit_length() - 1
+    return int(min(max(p, 8), ROW_TILE))
+
+
 @partial(jax.jit, static_argnames=("del_g_key", "interpret"))
 def _combine_pallas(tau_a, tau_b, dta, dtb, del_g_key, interpret=False):
+    """Fused primal + tangent combine.
+
+    dta/dtb: None, or stacked tangents (T, R, NG) co-sorted with the
+    primal keys in one pass through the network. Returns (out, dout) with
+    dout (T, R, NG) or None.
+    """
     del_g = np.asarray(del_g_key, dtype=np.float64)
     ng = del_g.shape[0]
     n_elem = ng * ng
@@ -160,37 +187,109 @@ def _combine_pallas(tau_a, tau_b, dta, dtb, del_g_key, interpret=False):
     w2[:n_elem] = (del_g[:, None] * del_g[None, :]).reshape(-1)
     edges = g_bin_edges(del_g)
 
-    with_tangent = dta is not None
-    # the tangent variant co-sorts a third payload; halve the row tile to
-    # stay inside the 16 MB scoped-VMEM budget of the unrolled network
-    row_tile = ROW_TILE // 2 if with_tangent else ROW_TILE
+    n_tan = 0 if dta is None else dta.shape[0]
+    row_tile = _tan_row_tile(n_tan) if n_tan else ROW_TILE
     rows = tau_a.shape[0]
     rows_pad = -(-rows // row_tile) * row_tile
     args = [_pad_rows(tau_a, rows_pad), _pad_rows(tau_b, rows_pad)]
-    if with_tangent:
-        args += [_pad_rows(dta, rows_pad), _pad_rows(dtb, rows_pad)]
+    if n_tan:
+        pad3 = lambda x: (
+            x if x.shape[1] == rows_pad
+            else jnp.pad(x, ((0, 0), (0, rows_pad - x.shape[1]), (0, 0)))
+        )
+        args += [pad3(dta), pad3(dtb)]
 
-    kern = _make_kernel(ng, e_pad, w2, edges, with_tangent)
+    kern = _make_kernel(ng, e_pad, w2, edges, n_tan)
     spec_in = pl.BlockSpec((row_tile, ng), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     spec_w2 = pl.BlockSpec((1, e_pad), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
+    spec_tan = pl.BlockSpec((n_tan, row_tile, ng), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows_pad, ng), tau_a.dtype)
     spec_out = pl.BlockSpec((row_tile, ng), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    n_out = 2 if with_tangent else 1
     w2_arr = jnp.asarray(w2, dtype=tau_a.dtype)[None, :]
-    outs = pl.pallas_call(
+    if n_tan:
+        dout_shape = jax.ShapeDtypeStruct((n_tan, rows_pad, ng),
+                                          tau_a.dtype)
+        dspec_out = pl.BlockSpec((n_tan, row_tile, ng),
+                                 lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM)
+        out, dout = pl.pallas_call(
+            kern,
+            grid=(rows_pad // row_tile,),
+            in_specs=[spec_w2, spec_in, spec_in, spec_tan, spec_tan],
+            out_specs=(spec_out, dspec_out),
+            out_shape=(out_shape, dout_shape),
+            interpret=interpret,
+        )(w2_arr, *args)
+        return out[:rows], dout[:, :rows]
+    out = pl.pallas_call(
         kern,
         grid=(rows_pad // row_tile,),
-        in_specs=[spec_w2] + [spec_in] * len(args),
-        out_specs=(spec_out,) * n_out if with_tangent else spec_out,
-        out_shape=(out_shape,) * n_out if with_tangent else out_shape,
+        in_specs=[spec_w2, spec_in, spec_in],
+        out_specs=spec_out,
+        out_shape=out_shape,
         interpret=interpret,
     )(w2_arr, *args)
-    if with_tangent:
-        return outs[0][:rows], outs[1][:rows]
-    return outs[:rows], None
+    return out[:rows], None
+
+
+def _fused_combine_factory(del_g_key, interpret):
+    """custom_vmap-wrapped fused (out, dout) combine for one static
+    del_g_key: under jax.jacfwd's tangent vmap, all NX tangents are
+    co-sorted through ONE network pass instead of re-sorting per tangent.
+    """
+
+    @jax.custom_batching.custom_vmap
+    def fused(tau_a, tau_b, dta, dtb):
+        out, dout = _combine_pallas(
+            tau_a, tau_b, dta[None], dtb[None], del_g_key, interpret
+        )
+        return out, dout[0]
+
+    @fused.def_vmap
+    def _fused_vmap(axis_size, in_batched, tau_a, tau_b, dta, dtb):
+        a_b, b_b, da_b, db_b = in_batched
+        if not a_b and not b_b:
+            # jacfwd case: primals shared, tangents stacked on axis 0
+            da = dta if da_b else jnp.broadcast_to(
+                dta[None], (axis_size,) + dta.shape)
+            db = dtb if db_b else jnp.broadcast_to(
+                dtb[None], (axis_size,) + dtb.shape)
+            out, dout = _combine_pallas(
+                tau_a, tau_b, da, db, del_g_key, interpret
+            )
+            return (out, dout), (False, True)
+        # batched primals: fold the batch axis into rows
+        ng = tau_a.shape[-1]
+
+        def flat(x, batched):
+            x = x if batched else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+            return x.reshape(-1, ng)
+
+        out, dout = _combine_pallas(
+            flat(tau_a, a_b), flat(tau_b, b_b),
+            flat(dta, da_b)[None], flat(dtb, db_b)[None],
+            del_g_key, interpret,
+        )
+        out = out.reshape(axis_size, -1, ng)
+        dout = dout[0].reshape(axis_size, -1, ng)
+        return (out, dout), (True, True)
+
+    return fused
+
+
+_FUSED_CACHE = {}
+
+
+def _fused_combine(del_g_key, interpret):
+    k = (del_g_key, interpret)
+    if k not in _FUSED_CACHE:
+        _FUSED_CACHE[k] = _fused_combine_factory(del_g_key, interpret)
+    return _FUSED_CACHE[k]
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(2, 3))
@@ -211,8 +310,7 @@ def _combine_jvp(del_g_key, interpret, primals, tangents):
     zero = jnp.zeros_like(tau_a)
     dta = zero if isinstance(dta, jax.custom_derivatives.SymbolicZero) else dta
     dtb = zero if isinstance(dtb, jax.custom_derivatives.SymbolicZero) else dtb
-    out, dout = _combine_pallas(tau_a, tau_b, dta, dtb, del_g_key,
-                                interpret=interpret)
+    out, dout = _fused_combine(del_g_key, interpret)(tau_a, tau_b, dta, dtb)
     return out, dout
 
 

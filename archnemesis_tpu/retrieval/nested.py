@@ -238,6 +238,23 @@ def run_retrieval_ns(
     from archnemesis_tpu.retrievals import make_retrieval_setup
 
     setup = make_retrieval_setup(deck_dir, runname)
+    return setup, run_setup_ns(
+        setup, n_live=n_live, evidence_tolerance=evidence_tolerance,
+        seed=seed, verbose=verbose, sigma_floor=sigma_floor,
+    )
+
+
+def run_setup_ns(
+    setup,
+    n_live: int = 400,
+    evidence_tolerance: float = 0.5,
+    seed: int = 0,
+    verbose: bool = False,
+    sigma_floor: float = 1e-5,
+):
+    """Nested sampling over an already-built RetrievalSetup (any geometry
+    driver: nadir/SO/disc/transit). Factored out so retrieval_nemesis can
+    dispatch retrieval_method=1 (reference Retrievals.py:298-307)."""
     xa = np.asarray(setup.sv.xa, dtype=np.float64)
     sig = np.sqrt(np.diag(np.asarray(setup.sv.sa)))
     vary = np.nonzero(sig > sigma_floor)[0]
@@ -255,7 +272,7 @@ def run_retrieval_ns(
         yn = setup.forward_fn(x_full)
         return -0.5 * jnp.sum((yn - y) ** 2 * inv_err2)
 
-    res = coreret_ns(
+    return coreret_ns(
         loglike,
         prior_transform,
         ndim=vary.size,
@@ -264,4 +281,3 @@ def run_retrieval_ns(
         seed=seed,
         verbose=verbose,
     )
-    return setup, res

@@ -87,6 +87,7 @@ def coreret_oe(
     verbose: bool = False,
     record_itr: bool = False,
     x0: Optional[np.ndarray] = None,
+    progress_dir: Optional[str] = None,
 ) -> OEResult:
     """Run the OE iteration loop (reference coreretOE:1173).
 
@@ -100,7 +101,23 @@ def coreret_oe(
 
     x0: optional starting state (checkpoint resume from a .itr record,
     reference from_itr OptimalEstimation_0.py:55); defaults to xa.
+
+    progress_dir: when set, write the reference's live observability files
+    there — ``progress.txt`` appended per iteration and ``phi_chisq.txt``
+    with the full phi/chisq/state history at the end
+    (OptimalEstimation_0.py:1285,1361-1363,1524).
     """
+    import os
+
+    def _progress_line(it, state, phi_v, chisq_v, xn_v):
+        xs = " ".join(f"{float(x):09.3E}" for x in np.asarray(xn_v))
+        return f"{it:04d} | {state:<16s} | {float(phi_v):09.3E} | " \
+               f"{float(chisq_v):09.3E} | {xs}\n"
+
+    progress_path = (
+        os.path.join(progress_dir, "progress.txt") if progress_dir else None
+    )
+    progress_history = []
     xa = jnp.asarray(xa)
     sa = jnp.asarray(sa)
     y = jnp.asarray(y)
@@ -118,6 +135,12 @@ def coreret_oe(
     phi_history = [ophi]
     if verbose:
         print(f"iter 0: phi={ophi:.6e} chisq={float(chisq):.6e}")
+    progress_history.append((0, float(phi), float(chisq), np.asarray(xn)))
+    if progress_path is not None:
+        head = "iter | state            | phi       | chisq     | xn\n"
+        with open(progress_path, "w") as f:
+            f.write(head)
+            f.write(_progress_line(0, "PHI INITIAL", phi, chisq, xn))
 
     alambda = 1.0
     converged = False
@@ -152,7 +175,18 @@ def coreret_oe(
         yn1, kk1 = fwd_and_jac(xn1)
         phi1, chisq1 = calc_phi(y, yn1, xn1, xa, se, sa)
 
-        if float(phi1) <= ophi:
+        accepted = float(phi1) <= ophi
+        progress_history.append(
+            (it + 1, float(phi1), float(chisq1), np.asarray(xn1))
+        )
+        if progress_path is not None:
+            with open(progress_path, "a") as f:
+                f.write(_progress_line(
+                    it + 1,
+                    "PHI REDUCED" if accepted else "PHI INCREASED",
+                    phi1, chisq1, xn1,
+                ))
+        if accepted:
             xn, yn, kk = xn1, yn1, kk1
             phi, chisq = phi1, chisq1
             n_done += 1
@@ -175,6 +209,13 @@ def coreret_oe(
                     f"(> {ophi:.6e}); lambda -> {alambda*10:.2e}"
                 )
             alambda *= 10.0
+
+    if progress_dir is not None:
+        with open(os.path.join(progress_dir, "phi_chisq.txt"), "w") as f:
+            f.write("iter | phi       | chisq     | xn\n")
+            for it_i, phi_i, chisq_i, xn_i in progress_history:
+                xs = " ".join(f"{float(x):09.3E}" for x in xn_i)
+                f.write(f"{it_i:04d} | {phi_i:09.3E} | {chisq_i:09.3E} | {xs}\n")
 
     dd, aa = calc_gain_matrix(kk, sa, se)
     sm, sn, st = calc_serr(dd, aa, se, sa)

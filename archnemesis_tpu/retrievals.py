@@ -567,6 +567,143 @@ def make_retrieval_setup_so(
     )
 
 
+def make_retrieval_setup_c(
+    deck_dir: str, runname: str, atm_override=None, sv_override=None
+) -> RetrievalSetup:
+    """Combined multi-angle scattering setup (reference nemesisCfm
+    ForwardModel_0.py:1526 + calc_path_C :3571): an up- or down-looking
+    instrument observing one atmosphere/surface at NGEOM viewing angles.
+    One layering and one adding-doubling evaluation serve every geometry —
+    the geometries enter as a path batch of (emiss, sol, azi) triplets
+    interpolated from the shared quadrature field (scloud11wave's path
+    axis), exactly the amortization the reference gets from
+    Path_0(COMBINE=True).
+    """
+    import dataclasses
+    import os
+
+    from archnemesis_tpu.enums import InstrumentLineshape
+    from archnemesis_tpu.forward import forward_scattering_nadir
+    from archnemesis_tpu.io.hdf5 import load_deck_hdf5
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+    from archnemesis_tpu.rt.scattering import ScatterQuadrature
+
+    h5 = os.path.join(deck_dir, runname + ".h5")
+    if os.path.exists(h5):
+        deck = load_deck_hdf5(h5)
+        apr = os.path.join(deck_dir, runname + ".apr")
+        if os.path.exists(apr):
+            deck = dataclasses.replace(deck, apr_path=apr)
+    else:
+        deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
+    st = deck.settings
+    geom = deck.geometry
+    if ScatteringCalculationMode(st.iscat) != (
+        ScatteringCalculationMode.MULTIPLE_SCATTERING
+    ):
+        raise ValueError(
+            "nemesisC requires ISCAT=MULTIPLE_SCATTERING "
+            "(reference calc_path_C check, ForwardModel_0.py:3628)")
+    emi = np.asarray(geom.emiss_ang[:, 0])
+    if not (np.all(emi > 90.0) or np.all((emi >= 0.0) & (emi < 90.0))):
+        raise ValueError(
+            "nemesisC geometries must all be upward-looking (>90) or all "
+            "downward-looking (<90) (ForwardModel_0.py:3619-3624)")
+    if np.any(np.asarray(geom.nav) > 1):
+        raise ValueError("nemesisC allows one FOV point per geometry "
+                         "(ForwardModel_0.py:3633-3635)")
+
+    sv = (sv_override if sv_override is not None
+          else read_apr(deck.apr_path, deck.atmosphere))
+
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    # shared calc range + single windowed table set over all geometries
+    vmin = min(float(geom.vconv[: geom.nconv[ig], ig].min())
+               for ig in range(geom.ngeom))
+    vmax = max(float(geom.vconv[: geom.nconv[ig], ig].max())
+               for ig in range(geom.ngeom))
+    ishape = InstrumentLineshape(st.ishape)
+    if geom.fwhm > 0.0:
+        dv = (0.5 * geom.fwhm if ishape == InstrumentLineshape.Square
+              else geom.fwhm if ishape == InstrumentLineshape.Triangular
+              else 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0)))
+        vmin, vmax = vmin - dv, vmax + dv
+    if isinstance(deck.ktables, RuntimeLBL):
+        ktw = deck.ktables.windowed(vmin, vmax)
+    else:
+        ktw = _windowed_ktab(deck, vmin, vmax)
+
+    ils = []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        vconv = geom.vconv[:nc, ig]
+        if geom.fwhm > 0.0:
+            from archnemesis_tpu.enums import SpectralCalculationMode
+            from archnemesis_tpu.ops.convolution import conv_quad_weights
+
+            if st.ilbl == SpectralCalculationMode.K_TABLES:
+                ils.append(jnp.asarray(conv_quad_weights(
+                    np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm)))
+            else:
+                ils.append(jnp.asarray(ils_weights_lbl(
+                    np.asarray(ktw.wave), np.asarray(vconv), geom.fwhm,
+                    ishape)))
+        elif geom.fwhm < 0.0 and geom.nfil is not None:
+            ils.append(jnp.asarray(ils_weights_filter(
+                np.asarray(ktw.wave), np.asarray(vconv),
+                geom.nfil, geom.vfil, geom.afil)))
+        else:
+            ils.append(None)
+
+    cfg = make_forward_config(
+        deck.atmosphere, ktw, deck.cia,
+        iray=st.iray, ispace=st.ispace, gasgiant=deck.surface.gasgiant,
+    )
+    quad = ScatterQuadrature(mu=st.mu, wtmu=st.wtmu, nf=st.nf,
+                             nphi=st.nphi)
+    emiss_angs = jnp.asarray(geom.emiss_ang[:, 0], dtype=jnp.float64)
+    sol_angs = jnp.asarray(geom.sol_ang[:, 0], dtype=jnp.float64)
+    azi_angs = jnp.asarray(geom.azi_ang[:, 0], dtype=jnp.float64)
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv)
+        surf = apply_domain(sv, xn, "surface", deck.surface)
+        aero = (apply_domain(sv, xn, "scatter", deck.aerosol,
+                             ispace=int(st.ispace))
+                if deck.aerosol is not None else None)
+        spec = forward_scattering_nadir(
+            atm, deck.layer_config, ktw, deck.cia, aero, surf,
+            deck.stellar, cfg, quad, deck.hgphase,
+            emiss_ang=emiss_angs, sol_ang=sol_angs, azi_ang=azi_angs,
+            iray_phase=st.iray > 0,
+        )  # (NWAVE, NGEOM)
+        out = []
+        for ig in range(geom.ngeom):
+            nc = geom.nconv[ig]
+            vconv = geom.vconv[:nc, ig]
+            s = spec[:, ig]
+            conv = (conv_channel_interp(jnp.asarray(ktw.wave), s,
+                                        jnp.asarray(vconv))
+                    if ils[ig] is None else apply_ils(ils[ig], s))
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[geom.vconv[: geom.nconv[ig], ig]
+                    for ig in range(geom.ngeom)],
+    )
+
+
 def _iform_xfac(iform, atm, stellar, wave):
     """Spectral unit conversion for disc-averaged outputs (reference
     ForwardModel_0.py:4359-4367): FluxRatio divides the 4*pi*pi*R^2-scaled
@@ -843,7 +980,11 @@ def retrieval_nemesis(
     nemesis_so: bool = False,
     nemesis_pt: bool = False,
     nemesis_disc: bool = False,
-) -> OEResult:
+    nemesis_c: bool = False,
+    retrieval_method: int = 0,
+    ncores: int = 1,
+    ns_kwargs: Optional[dict] = None,
+):
     """Full retrieval driver (reference retrieval_nemesis Retrievals.py:31):
     load deck, optional LIN chaining from <runname>.pre, OE retrieval, and
     legacy output files (.mre/.cov/.raw/.itr).
@@ -859,6 +1000,15 @@ def retrieval_nemesis(
 
     resume=True restarts the OE loop from the last .itr checkpoint record
     (reference OptimalEstimation_0.from_itr:55).
+
+    retrieval_method: 0 = optimal estimation (coreretOE), 1 = nested
+    sampling (reference dispatch Retrievals.py:298-307; coreretNS is the
+    JAX-native batched sampler in retrieval/nested.py). ``ns_kwargs`` are
+    forwarded to it. Returns an OEResult (method 0) or NSResult (method 1).
+
+    ncores is accepted for API parity with the reference's joblib
+    fan-out (Retrievals.py:35); analytic jacfwd Jacobians make it a no-op
+    here — the Jacobian is one batched forward evaluation on the chip.
     """
     import os
 
@@ -866,10 +1016,13 @@ def retrieval_nemesis(
 
     from archnemesis_tpu.retrieval import output as out_mod
 
+    del ncores  # parity-only (see docstring)
+
     _setup_fn = (
         make_retrieval_setup_so if nemesis_so
         else make_retrieval_setup_transit if nemesis_pt
         else make_retrieval_setup_disc if nemesis_disc
+        else make_retrieval_setup_c if nemesis_c
         else make_retrieval_setup
     )
     setup = _setup_fn(deck_dir, runname)
@@ -923,6 +1076,15 @@ def retrieval_nemesis(
                 deck_dir, runname, atm_override=atm_baked
             )
 
+    if retrieval_method == 1:
+        from archnemesis_tpu.retrieval.nested import run_setup_ns
+
+        if lin > 0:
+            raise NotImplementedError(
+                "LIN chaining + nested sampling is not wired (the reference "
+                "also only folds LIN into the OE path, Retrievals.py:171)")
+        return run_setup_ns(setup, verbose=verbose, **(ns_kwargs or {}))
+
     x0 = None
     if resume:
         itr_path = os.path.join(deck_dir, runname + ".itr")
@@ -934,6 +1096,7 @@ def retrieval_nemesis(
         niter=niter if niter is not None else max(st.niter, 0),
         philimit=philimit if philimit is not None else st.philimit,
         verbose=verbose, record_itr=write_outputs, x0=x0,
+        progress_dir=deck_dir if write_outputs else None,
     )
 
     if write_outputs:

@@ -85,3 +85,51 @@ def test_mix_gas_k_pallas_matches_xla(gquad):
                   use_pallas=False)
     )
     np.testing.assert_allclose(out_p, out_x, rtol=3e-5, atol=1e-3)
+
+
+def test_pallas_jacfwd_multi_tangent_matches_xla(gquad):
+    """jax.jacfwd through the pallas combine must equal jacfwd through the
+    XLA combine — and (structurally) runs ONE multi-tangent kernel via the
+    custom_vmap rule instead of re-sorting per basis vector."""
+    del_g, key, w2, edges = gquad
+    ng = del_g.shape[0]
+    rng = np.random.default_rng(11)
+    rows = 8
+    ta = np.sort(rng.uniform(0.1, 4, (rows, ng)).astype(np.float32), axis=1)
+    tb = np.sort(rng.uniform(0.1, 2, (rows, ng)).astype(np.float32), axis=1)
+    scale = jnp.ones((), dtype=jnp.float32)
+
+    def f_pallas(s):
+        return combine_pair_pallas(jnp.asarray(ta) * s[0],
+                                   jnp.asarray(tb) * s[1], key, True)
+
+    def f_xla(s):
+        return _combine_pair(w2, edges, jnp.asarray(ta) * s[0],
+                             jnp.asarray(tb) * s[1])
+
+    s0 = jnp.asarray([1.0, 1.0], dtype=jnp.float32)
+    jp = np.asarray(jax.jacfwd(f_pallas)(s0))
+    jx = np.asarray(jax.jacfwd(f_xla)(s0))
+    np.testing.assert_allclose(jp, jx, rtol=2e-4, atol=1e-6)
+
+
+def test_pallas_vmap_over_batched_primals(gquad):
+    """vmap over batched primals AND tangents folds the batch into rows
+    (the custom_vmap fallback branch)."""
+    del_g, key, w2, edges = gquad
+    ng = del_g.shape[0]
+    rng = np.random.default_rng(12)
+    B, rows = 3, 4
+    ta = np.sort(rng.uniform(0.1, 4, (B, rows, ng)).astype(np.float32), -1)
+    tb = np.sort(rng.uniform(0.1, 2, (B, rows, ng)).astype(np.float32), -1)
+
+    def f(a, b):
+        out, _ = jax.jvp(
+            lambda x, y: combine_pair_pallas(x, y, key, True),
+            (a, b), (a * 0.1, b * 0.2))
+        return out
+
+    out_v = np.asarray(jax.vmap(f)(jnp.asarray(ta), jnp.asarray(tb)))
+    for i in range(B):
+        out_i = np.asarray(f(jnp.asarray(ta[i]), jnp.asarray(tb[i])))
+        np.testing.assert_allclose(out_v[i], out_i, rtol=2e-5, atol=1e-7)

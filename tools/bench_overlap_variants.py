@@ -17,6 +17,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -103,8 +108,8 @@ def make_lean_kernel(ng, e_pad, w2, edges, mode="full"):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("del_g_key", "mode"))
-def combine_lean(tau_a, tau_b, del_g_key, mode="full"):
+@partial(jax.jit, static_argnames=("del_g_key", "mode", "row_tile"))
+def combine_lean(tau_a, tau_b, del_g_key, mode="full", row_tile=ROW_TILE):
     del_g = np.asarray(del_g_key, dtype=np.float64)
     ng = del_g.shape[0]
     n_elem = ng * ng
@@ -114,21 +119,21 @@ def combine_lean(tau_a, tau_b, del_g_key, mode="full"):
     edges = g_bin_edges(del_g)
 
     rows = tau_a.shape[0]
-    rows_pad = -(-rows // ROW_TILE) * ROW_TILE
+    rows_pad = -(-rows // row_tile) * row_tile
     if rows != rows_pad:
         tau_a = jnp.pad(tau_a, ((0, rows_pad - rows), (0, 0)))
         tau_b = jnp.pad(tau_b, ((0, rows_pad - rows), (0, 0)))
 
     kern = make_lean_kernel(ng, e_pad, w2, edges, mode)
-    spec_in = pl.BlockSpec((ROW_TILE, ng), lambda i: (i, 0),
+    spec_in = pl.BlockSpec((row_tile, ng), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
     spec_w2 = pl.BlockSpec((1, e_pad), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(rows_pad // ROW_TILE,),
+        grid=(rows_pad // row_tile,),
         in_specs=[spec_w2, spec_in, spec_in],
-        out_specs=pl.BlockSpec((ROW_TILE, ng), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((row_tile, ng), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, ng), tau_a.dtype),
     )(jnp.asarray(w2, dtype=tau_a.dtype)[None, :], tau_a, tau_b)
@@ -161,19 +166,30 @@ def main():
         _ = float(jnp.sum(out))
         return (time.perf_counter() - t0) / nrep
 
-    ref = combine_pair_pallas(tau_a, tau_b, key)
-    lean = combine_lean(tau_a, tau_b, key, "full")
-    diff = float(jnp.max(jnp.abs(ref - lean) / jnp.maximum(jnp.abs(ref), 1e-30)))
-    print(f"lean-vs-current max rel diff: {diff:.3e}")
+    which = sys.argv[1:] or ["check", "current", "lean", "sortonly", "rollonly"]
 
-    for name, fn in [
-        ("current", lambda: combine_pair_pallas(tau_a, tau_b, key)),
-        ("lean", lambda: combine_lean(tau_a, tau_b, key, "full")),
-        ("sortonly", lambda: combine_lean(tau_a, tau_b, key, "sortonly")),
-        ("rollonly", lambda: combine_lean(tau_a, tau_b, key, "rollonly")),
-    ]:
-        dt = timeit(fn)
-        print(f"  {name:10s} {dt*1e3:9.2f} ms/pair")
+    if "check" in which:
+        ref = combine_pair_pallas(tau_a, tau_b, key)
+        lean = combine_lean(tau_a, tau_b, key, "full")
+        diff = float(jnp.max(jnp.abs(ref - lean) / jnp.maximum(jnp.abs(ref), 1e-30)))
+        print(f"lean-vs-current max rel diff: {diff:.3e}", flush=True)
+
+    variants = {
+        "current": lambda: combine_pair_pallas(tau_a, tau_b, key),
+        "lean": lambda: combine_lean(tau_a, tau_b, key, "full"),
+        "sortonly": lambda: combine_lean(tau_a, tau_b, key, "sortonly"),
+        "rollonly": lambda: combine_lean(tau_a, tau_b, key, "rollonly"),
+        "lean8": lambda: combine_lean(tau_a, tau_b, key, "full", 8),
+        "lean16": lambda: combine_lean(tau_a, tau_b, key, "full", 16),
+        "lean32": lambda: combine_lean(tau_a, tau_b, key, "full", 32),
+        "lean64": lambda: combine_lean(tau_a, tau_b, key, "full", 64),
+        "lean128": lambda: combine_lean(tau_a, tau_b, key, "full", 128),
+    }
+    for name in which:
+        if name not in variants:
+            continue
+        dt = timeit(variants[name])
+        print(f"  {name:10s} {dt*1e3:9.2f} ms/pair", flush=True)
 
 
 if __name__ == "__main__":
