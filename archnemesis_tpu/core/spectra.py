@@ -103,10 +103,35 @@ class CIATables:
     inormalt: Tuple[int, ...] = static_field(default=())
     npara: int = static_field(default=0)
     inormal: ParaH2Ratio = static_field(default=ParaH2Ratio.EQUILIBRIUM)
+    # k_cia premultiplier already applied (power of two; see prescale()).
+    k_scale: float = static_field(default=1.0)
 
     @property
     def npair(self) -> int:
         return self.k_cia.shape[0]
+
+    # The balance factor pairing k_cia ~ 1e-45 cm^5 with TOTAM^2 ~ 1e50
+    # cm^-4 (ops/cia.py). 2**134 is exact in float64, so prescaled tables
+    # are bit-identical there — and in float32 the raw values are
+    # subnormal (flushed/quantized at cast), so any f32 deck MUST carry a
+    # prescaled table.
+    K_CIA_BALANCE = 2.0**134
+
+    def prescale(self) -> "CIATables":
+        """Fold the 2**134 balance factor into k_cia host-side in float64.
+
+        Call before casting a deck to float32 (cast_deck does this): the
+        raw ~1e-45 cm^5 molecule^-2 values fall below the f32 normal range
+        and would lose their mantissa at cast time, long before
+        ops.cia.cia_tau could rescale them.
+        """
+        import numpy as _np
+
+        residual = self.K_CIA_BALANCE / self.k_scale
+        if residual == 1.0:
+            return self
+        k64 = _np.asarray(self.k_cia, dtype=_np.float64) * residual
+        return self.replace(k_cia=k64, k_scale=self.K_CIA_BALANCE)
 
 
 @pytree_dataclass
@@ -166,3 +191,34 @@ class EmissionTables:
     gas_id: Tuple[int, ...] = static_field(default=())
     iso_id: Tuple[int, ...] = static_field(default=())
     solar_scaling: Tuple[bool, ...] = static_field(default=())
+
+
+def cast_deck(obj, dtype=np.float32):
+    """Cast every floating leaf of a component pytree to ``dtype`` for
+    device residency (the float32 TPU production path).
+
+    CIATables nodes are ``prescale()``d host-side first: raw k_cia values
+    (~1e-45 cm^5 molecule^-2) sit below the float32 normal range and would
+    lose their mantissa at cast time, long before ``ops.cia.cia_tau``
+    could rescale them.
+    """
+    import jax
+
+    dtype = np.dtype(dtype)
+
+    def fix_cia(x):
+        if isinstance(x, CIATables) and dtype.itemsize < 8:
+            return x.prescale()
+        return x
+
+    obj = jax.tree_util.tree_map(
+        fix_cia, obj, is_leaf=lambda x: isinstance(x, CIATables)
+    )
+
+    def cast(x):
+        a = np.asarray(x)
+        if np.issubdtype(a.dtype, np.floating):
+            return a.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, obj)

@@ -139,7 +139,10 @@ class Model500:
         g_mat = np.exp(
             -((idx[:, None] - centers[None, :]) ** 2) / (2.0 * width**2)
         )
-        curve = jnp.asarray(g_mat) @ (x * 1e-40)  # (ihi-ilo+1,)
+        # amplitudes are in raw 1e-40 cm^5 units; fold in any balance
+        # prescale the table carries (CIATables.k_scale) so the rebuilt
+        # k_cia stays consistent with ops.cia.cia_tau's residual handling
+        curve = jnp.asarray(g_mat) @ (x * (1e-40 * cia.k_scale))
         k = jnp.zeros_like(jnp.asarray(cia.k_cia))
         k = k.at[icia, :, :, ilo : ihi + 1].set(
             jnp.broadcast_to(

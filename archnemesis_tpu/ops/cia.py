@@ -152,13 +152,22 @@ def cia_tau(
 
     # XFAC = (TOTAM cm-2)^2 / (DELH cm): TOTAM^2 ~ 1e50 overflows f32 and
     # k_cia ~ 1e-45 underflows it. Balance with an exact power-of-2 scale
-    # (2^134, sqrt = 2^67): bit-identical in f64, in-range in f32.
+    # (2^134, sqrt = 2^67): bit-identical in f64, in-range in f32. The
+    # table may already carry part of the factor (cia.k_scale, set by
+    # CIATables.prescale() — REQUIRED for f32 decks, where the raw values
+    # are subnormal); apply only the residual, in 2^67 half-steps so no
+    # constant exceeds the f32 range.
     scale = 2.0**134
     half_scale = 2.0**67
+    residual = scale / cia.k_scale
     totam_cm2 = totam * 1.0e-4
     xlen_cm = delh * 1.0e2
     xfac_scaled = (totam_cm2 / half_scale) ** 2 / xlen_cm
-    tau = (sum_pairs * scale) * xfac_scaled[None, :]
+    while residual > 1.0:
+        step = min(residual, half_scale)
+        sum_pairs = sum_pairs * step
+        residual /= step
+    tau = sum_pairs * xfac_scaled[None, :]
 
     # --- analytic NIR band add-ons (T-independent, ForwardModel_0.py:4752-4770);
     # curves enter pre-scaled by 2**134 so they survive float32

@@ -33,10 +33,13 @@ from archnemesis_tpu.ops.overlap import g_bin_edges
 ROW_TILE = 256
 
 
-def _bitonic_stages(n: int):
-    """(size, stride) pairs of the full bitonic sorting network for n=2^k."""
+def _bitonic_stages(n: int, start_size: int = 2):
+    """(size, stride) pairs of the bitonic sorting network for n=2^k,
+    starting at merge level ``start_size`` (the input must then satisfy the
+    post-level-(start_size/2) invariant: every aligned start_size/2 block
+    sorted, ascending in even blocks, descending in odd ones)."""
     stages = []
-    size = 2
+    size = start_size
     while size <= n:
         stride = size // 2
         while stride >= 1:
@@ -46,6 +49,55 @@ def _bitonic_stages(n: int):
     return stages
 
 
+def _run_layout(ng: int):
+    """Presorted-runs layout for the ng^2 pair sums a_i + b_j.
+
+    Both inputs are k-distributions, ascending along g by construction
+    (table g-axes are sorted; the P-T interpolation is a clamped convex
+    blend in log space; rebin outputs are means over increasing value
+    intervals) — so the pair-sum matrix has sorted rows and columns. Laying
+    it out as aligned runs of r = 2^floor(log2 ng), alternating
+    ascending/descending, satisfies the bitonic invariant after level r and
+    lets the network skip every level of size <= r (10 of 45 stages at
+    NG=20).
+
+    Coverage (disjoint): region A = all i x j<r as ng row-runs of r;
+    region B = j>=r x i<r as d column-runs of r; region C = the d x d
+    corner as d column-runs of d padded to r (d = ng - r < r).
+
+    Returns (blocks, atom_idx (e_pad,), start_size) or None when the
+    ng + 2d runs of r don't fit in e_pad lanes (then the plain
+    construction + full network is used).
+    """
+    r = 1 << (ng.bit_length() - 1)
+    d = ng - r
+    e_pad = 1 << (ng * ng - 1).bit_length()
+    if (ng + 2 * d) * r > e_pad:
+        return None
+    blocks = [("A", i) for i in range(ng)]
+    blocks += [("B", j) for j in range(r, ng)]
+    blocks += [("C", j) for j in range(r, ng)]
+    blocks += [("P", 0)] * (e_pad // r - len(blocks))
+    atom = np.full(e_pad, -1, dtype=np.int64)
+    for m, (kind, q) in enumerate(blocks):
+        rev = bool(m & 1)
+        base = m * r
+        if kind == "A":
+            js = range(r - 1, -1, -1) if rev else range(r)
+            for t, j in enumerate(js):
+                atom[base + t] = q * ng + j
+        elif kind == "B":
+            iis = range(r - 1, -1, -1) if rev else range(r)
+            for t, i in enumerate(iis):
+                atom[base + t] = i * ng + q
+        elif kind == "C":
+            iis = range(ng - 1, r - 1, -1) if rev else range(r, ng)
+            off = r - d if rev else 0
+            for t, i in enumerate(iis):
+                atom[base + off + t] = i * ng + q
+    return blocks, atom, 2 * r
+
+
 def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
                  edges: np.ndarray, n_tan: int):
     """Build the kernel for static (ng, padded element count, weights,
@@ -53,7 +105,14 @@ def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
     network (jacfwd pushes NX tangents; sorting once for all of them is
     what makes analytic Jacobians through the correlated-k path cheap)."""
     n_elem = ng * ng
-    stages = _bitonic_stages(e_pad)
+    layout = _run_layout(ng)
+    if layout is not None:
+        run_blocks, _, start_size = layout
+        r_run = 1 << (ng.bit_length() - 1)
+        stages = _bitonic_stages(e_pad, start_size)
+    else:
+        run_blocks = None
+        stages = _bitonic_stages(e_pad)
     lo_edges = [float(x) for x in edges[:-1]]
     hi_edges = [float(x) for x in edges[1:]]
     with_tangent = n_tan > 0
@@ -76,14 +135,50 @@ def _make_kernel(ng: int, e_pad: int, w2_pad: np.ndarray,
             )
             return jnp.concatenate(chunks, axis=1)
 
+        def pair_sum_runs(x, y, fill):
+            # presorted-runs construction matching _run_layout's atom map:
+            # every aligned r_run block comes out sorted, alternating
+            # ascending/descending, so the network starts at level 2*r_run.
+            r = r_run
+            d = ng - r
+
+            def flip(z):
+                return jnp.concatenate(
+                    [z[:, t:t + 1] for t in range(z.shape[1] - 1, -1, -1)],
+                    axis=1,
+                )
+
+            y_lo, x_lo = y[:, :r], x[:, :r]
+            y_lo_r, x_lo_r = flip(y_lo), flip(x_lo)
+            x_hi = x[:, r:ng] if d else None
+            x_hi_r = flip(x_hi) if d else None
+            pad_full = jnp.full((rows, r), fill, dtype=y.dtype)
+            pad_c = jnp.full((rows, r - d), fill, dtype=y.dtype) if d else None
+            pieces = []
+            for m, (kind, q) in enumerate(run_blocks):
+                rev = bool(m & 1)
+                if kind == "A":
+                    pieces.append(x[:, q:q + 1] + (y_lo_r if rev else y_lo))
+                elif kind == "B":
+                    pieces.append(y[:, q:q + 1] + (x_lo_r if rev else x_lo))
+                elif kind == "C":
+                    run = y[:, q:q + 1] + (x_hi_r if rev else x_hi)
+                    pieces.append(jnp.concatenate(
+                        [pad_c, run] if rev else [run, pad_c], axis=1))
+                else:
+                    pieces.append(pad_full)
+            return jnp.concatenate(pieces, axis=1)
+
+        build = pair_sum if run_blocks is None else pair_sum_runs
+
         # pad with the largest finite f32 (not inf: the padding rows get
         # inter == 0 exactly, and 0 * finfo.max == 0 while 0 * inf == NaN)
-        tau = pair_sum(a_ref[:], b_ref[:],
-                       np.float32(np.finfo(np.float32).max))
+        tau = build(a_ref[:], b_ref[:],
+                    np.float32(np.finfo(np.float32).max))
         w = jnp.broadcast_to(w2_ref[:], (rows, e_pad))
         payloads = [w]
         for t in range(n_tan):
-            payloads.append(pair_sum(da_ref[t], db_ref[t], 0.0))
+            payloads.append(build(da_ref[t], db_ref[t], 0.0))
 
         # single-sublane lane index: per-stage masks are (1, e_pad) and
         # broadcast along the row axis inside the selects (a full-tile
@@ -183,8 +278,15 @@ def _combine_pallas(tau_a, tau_b, dta, dtb, del_g_key, interpret=False):
     ng = del_g.shape[0]
     n_elem = ng * ng
     e_pad = 1 << (n_elem - 1).bit_length()  # next power of two
-    w2 = np.zeros(e_pad)
-    w2[:n_elem] = (del_g[:, None] * del_g[None, :]).reshape(-1)
+    w_atoms = (del_g[:, None] * del_g[None, :]).reshape(-1)
+    layout = _run_layout(ng)
+    if layout is not None:
+        # lane weights follow the presorted-runs atom map (pad lanes -> 0)
+        _, atom, _ = layout
+        w2 = np.where(atom >= 0, w_atoms[np.clip(atom, 0, None)], 0.0)
+    else:
+        w2 = np.zeros(e_pad)
+        w2[:n_elem] = w_atoms
     edges = g_bin_edges(del_g)
 
     n_tan = 0 if dta is None else dta.shape[0]

@@ -81,3 +81,53 @@ def test_cia_tau_band_wiring(ref_cia):
         + n2h2cia(waven)[:, None] * q[None, :, 1] * q[None, :, 2]
     ) * xfac[None, :]
     np.testing.assert_allclose(tau, expect, rtol=1e-10)
+
+
+def test_cia_tau_f32_prescaled_matches_f64():
+    """The float32 deck path: raw k_cia (~1e-45 cm^5) is subnormal in f32,
+    so cast_deck prescales the table by 2**134 host-side and cia_tau
+    applies only the residual. The f32 result must track the raw-f64 path
+    to f32 precision (a straight f32 cast of the raw table flushes to
+    zero / NaN instead)."""
+    from archnemesis_tpu.core.spectra import cast_deck
+
+    rng = np.random.default_rng(7)
+    nlay, nw = 4, 64
+    waven_tab = np.linspace(10.0, 2000.0, 32)
+    cia = CIATables(
+        waven=waven_tab,
+        temp=np.array([50.0, 150.0, 300.0, 400.0]),
+        frac=np.array([0.25]),
+        k_cia=rng.uniform(0.2e-45, 5e-45, (2, 1, 4, 32)),
+        pair_gas1=(39, 39),
+        pair_gas2=(39, 40),
+        inormalt=(None, None),
+        npara=0,
+        inormal=ParaH2Ratio.EQUILIBRIUM,
+    )
+    wave = np.linspace(200.0, 1500.0, nw)
+    temp = rng.uniform(80.0, 350.0, nlay)
+    q = np.stack([np.full(nlay, 0.86), np.full(nlay, 0.13)], axis=1)
+    totam = rng.uniform(1e28, 1e30, nlay)
+    delh = rng.uniform(1e3, 1e4, nlay)
+
+    def run(c, dt):
+        return np.asarray(
+            cia_tau(
+                c, jnp.asarray(wave, dt), jnp.asarray(temp, dt),
+                jnp.zeros(nlay, dt), jnp.asarray(q, dt),
+                jnp.asarray(totam, dt), jnp.asarray(delh, dt),
+                ispace=WaveUnit.Wavenumber_cm,
+                pair_q1_idx=np.array([0, 0]), pair_q2_idx=np.array([0, 1]),
+                pair_active=np.array([1.0, 1.0]),
+            )
+        )
+
+    ref = run(cia, jnp.float64)
+    c32 = cast_deck(cia, np.float32)
+    assert c32.k_scale == 2.0**134
+    got = run(c32, jnp.float32)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, ref, rtol=5e-6)
+    # prescale is exact in f64: bit-identical to the raw path
+    np.testing.assert_array_equal(run(cia.prescale(), jnp.float64), ref)

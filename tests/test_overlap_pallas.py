@@ -113,6 +113,47 @@ def test_pallas_jacfwd_multi_tangent_matches_xla(gquad):
     np.testing.assert_allclose(jp, jx, rtol=2e-4, atol=1e-6)
 
 
+def test_run_layout_coverage_and_invariant():
+    """The presorted-runs construction must (a) cover every (i, j) atom
+    exactly once and (b) satisfy the bitonic post-level-r invariant for
+    sorted inputs: each aligned r-block sorted, ascending in even blocks,
+    descending in odd blocks."""
+    from archnemesis_tpu.ops.overlap_pallas import _run_layout
+
+    rng = np.random.default_rng(0)
+    for ng in (4, 8, 10, 16, 20):
+        blocks, atom, start = _run_layout(ng)
+        r = start // 2
+        used = atom[atom >= 0]
+        assert sorted(used.tolist()) == list(range(ng * ng))
+        a = np.sort(rng.uniform(0, 5, ng))
+        b = np.sort(rng.uniform(0, 3, ng))
+        fill = np.finfo(np.float32).max
+        safe = np.clip(atom, 0, None)
+        v = np.where(atom >= 0, a[safe // ng] + b[safe % ng], fill)
+        for m in range(len(v) // r):
+            blk = np.diff(v[m * r:(m + 1) * r])
+            assert np.all(blk >= 0) if m % 2 == 0 else np.all(blk <= 0)
+
+
+def test_pallas_pair_ng20_matches_xla():
+    """Production NG=20 shape through the presorted-runs network."""
+    x, w = np.polynomial.legendre.leggauss(20)
+    del_g = (0.5 * w).astype(np.float32)
+    key = tuple(float(v) for v in del_g)
+    w2 = (jnp.asarray(del_g)[:, None] * jnp.asarray(del_g)[None, :]).reshape(-1)
+    edges = jnp.asarray(g_bin_edges(del_g))
+    rng = np.random.default_rng(7)
+    ta = np.sort(rng.uniform(0, 4, (48, 20)).astype(np.float32), axis=1)
+    tb = np.sort(rng.uniform(0, 2, (48, 20)).astype(np.float32), axis=1)
+    ta[:5] = 0.0
+    out_p = np.asarray(
+        combine_pair_pallas(jnp.asarray(ta), jnp.asarray(tb), key, True)
+    )
+    out_x = np.asarray(_combine_pair(w2, edges, jnp.asarray(ta), jnp.asarray(tb)))
+    np.testing.assert_allclose(out_p, out_x, rtol=2e-5, atol=1e-7)
+
+
 def test_pallas_vmap_over_batched_primals(gquad):
     """vmap over batched primals AND tangents folds the batch into rows
     (the custom_vmap fallback branch)."""
