@@ -434,7 +434,8 @@ def forward_limb(
     return spec
 
 
-def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
+def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km,
+                lfm_bracket: bool = False):
     """Host-side static SO geometry: tangent-layer selection + the linear
     tangent-height interpolation stencil (reference calc_path_SO
     ForwardModel_0.py:3240-3258 and nemesisSOfm :943-961).
@@ -442,6 +443,13 @@ def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
     Computed once at setup from the unperturbed layering — the reference
     likewise freezes layer heights for SO (adjust_hydrostat=False,
     ForwardModel_0.py:855).
+
+    ``lfm_bracket=True`` reproduces nemesisLfm's bracket choice
+    (ForwardModel_0.py:1322-1329): there ``base0 = BASEH_TANHE[ibase]/1e3``
+    divides the already-km tangent baseline by 1e3 again, so the
+    lower/upper bracket is almost always [ibase, ibase+1] with
+    (possibly extrapolating) weights — kept verbatim for output parity
+    with the reference limb forward model.
     """
     layers = build_layers(atm, laycfg, layang=90.0)
     baseh = np.asarray(layers.baseh)
@@ -453,7 +461,8 @@ def so_geometry(atm: Atmosphere, laycfg: LayerConfig, tanhe_km):
     lo, hi, wlo, whi = [], [], [], []
     for th in tanhe:
         ibase = int(np.argmin(np.abs(baseh_tan - th)))
-        if baseh_tan[ibase] <= th:
+        base0 = baseh_tan[ibase] / 1.0e3 if lfm_bracket else baseh_tan[ibase]
+        if base0 <= th:
             ibasel, ibaseh = ibase, ibase + 1
         else:
             ibasel, ibaseh = ibase - 1, ibase
@@ -531,6 +540,59 @@ def forward_so(
         specmod = spec[:, idx] * (1.0 - w)[None, :] + spec[:, idx + 1] * w[None, :]
     if solflux is not None:
         specmod = specmod * solflux[:, None]
+    if return_diagnostics:
+        return specmod, {"layers": layers, "paths": paths, **taus,
+                         "spec_paths": spec}
+    return specmod
+
+
+def forward_limb_batch(
+    atm: Atmosphere,
+    laycfg: LayerConfig,
+    ktab: KTables,
+    cia: Optional[CIATables],
+    aero: Optional[AerosolOptics],
+    cfg: ForwardConfig,
+    geo: dict,
+    tanhe_shift=None,
+    return_diagnostics: bool = False,
+):
+    """Limb thermal-emission forward model over all measured tangent
+    heights at once (reference nemesisLfm ForwardModel_0.py:1254 +
+    calc_path_L :3375): ONE layering at LAYANG=90, one batched opacity
+    evaluation feeding every tangent path, and the same tangent-height
+    interpolation stencil as the SO driver.  Differs from forward_so only
+    in the path physics: THERMAL_EMISSION radiance instead of
+    transmission (no solar-flux multiply, no surface term for limb).
+
+    ``tanhe_shift`` (km, traced — model 777) switches to the
+    differentiable searchsorted interpolation, as in forward_so.
+    """
+    from archnemesis_tpu.rt.path import limb_paths
+
+    layers = apply_dust_renorm(build_layers(atm, laycfg, layang=90.0), atm)
+    paths = limb_paths(
+        layers, atm.radius, atm.h[-1], geo["itanhe"],
+        imod=PathCalc.THERMAL_EMISSION,
+    )
+    wave = ktab.wave
+    taus = layer_optical_depths(cfg, layers, wave, ktab, cia, aero)
+    spec = path_spectrum(
+        cfg, wave, taus["tautot"], paths, None, ktab.del_g
+    )  # (NWAVE, NPATH) radiance
+
+    if tanhe_shift is None:
+        specmod = (
+            spec[:, jnp.asarray(geo["lo"])] * jnp.asarray(geo["wlo"])[None, :]
+            + spec[:, jnp.asarray(geo["hi"])] * jnp.asarray(geo["whi"])[None, :]
+        )  # (NWAVE, NGEOM)
+    else:
+        bt = jnp.asarray(geo["baseh_tan"])  # (NPATH,) km, ascending
+        th = jnp.asarray(geo["tanhe_km"]) + tanhe_shift  # (NGEOM,)
+        idx = jnp.clip(jnp.searchsorted(bt, th) - 1, 0, bt.shape[0] - 2)
+        w = (th - bt[idx]) / (bt[idx + 1] - bt[idx])
+        w = jnp.clip(w, 0.0, 1.0)
+        specmod = spec[:, idx] * (1.0 - w)[None, :] + spec[:, idx + 1] * w[None, :]
     if return_diagnostics:
         return specmod, {"layers": layers, "paths": paths, **taus,
                          "spec_paths": spec}

@@ -32,6 +32,33 @@ def calc_gain_matrix(kk, sa, se):
     return dd, aa
 
 
+def assess(kk, sa, se):
+    """Retrieval-conditioning diagnostic (reference assess
+    OptimalEstimation_0.py:612-653): compares the average diagonal of
+    K SA K^T + SE against SE. Returns (avg_b, avg_se, avg_ratio,
+    underconstrained) and logs the reference's warning when the mean
+    elementwise ratio exceeds 10 (solution likely exact / insufficient
+    constraint)."""
+    import logging
+
+    b = kk @ (sa @ kk.T) + se
+    db = jnp.diagonal(b)
+    dse = jnp.diagonal(se)
+    ny = db.shape[0]
+    sum1 = float(jnp.sum(db)) / ny
+    sum2 = float(jnp.sum(dse)) / ny
+    sum3 = float(jnp.sum(db / dse)) / ny
+    under = sum3 > 10.0
+    lgr = logging.getLogger(__name__)
+    lgr.info("Assess: avg diag(K Sx Kt) = %g, avg diag(Se) = %g, "
+             "ratio = %g, avg elementwise ratio = %g",
+             sum1, sum2, sum1 / sum2, sum3)
+    if under:
+        lgr.info("ASSESS WARNING: insufficient constraint, solution "
+                 "likely to be exact")
+    return sum1, sum2, sum3, under
+
+
 def calc_phi(y, yn, xn, xa, se, sa):
     """phi = (yn-y)^T SE^-1 (yn-y) + (xn-xa)^T SA^-1 (xn-xa); chisq is the
     measurement part / NY (reference calc_phiret:573)."""
@@ -130,6 +157,9 @@ def coreret_oe(
 
     xn = xa if x0 is None else jnp.asarray(x0)
     yn, kk = fwd_and_jac(xn)
+    # conditioning diagnostic before the first iteration (reference
+    # coreretOE calls assess() once the first Jacobian exists, :1368)
+    assess(kk, sa, se)
     phi, chisq = calc_phi(y, yn, xn, xa, se, sa)
     ophi = float(phi)
     phi_history = [ophi]

@@ -567,6 +567,158 @@ def make_retrieval_setup_so(
     )
 
 
+def make_retrieval_setup_limb(
+    deck_dir: str, runname: str, atm_override=None, sv_override=None
+) -> RetrievalSetup:
+    """Limb thermal-emission retrieval setup (reference nemesisLfm,
+    ForwardModel_0.py:1254 + calc_path_L :3375): one layering for all
+    tangent heights, all tangent emission paths in one batched opacity
+    evaluation, tangent-height interpolation to the measured TANHE, and
+    ILS convolution (or filter integration for IFORM=Integrated_radiance)
+    over all geometries at once.
+    """
+    import dataclasses
+    import os
+
+    from archnemesis_tpu.enums import InstrumentLineshape
+    from archnemesis_tpu.forward import forward_limb_batch, so_geometry
+    from archnemesis_tpu.io.hdf5 import load_deck_hdf5
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+    from archnemesis_tpu.ops.convolution import integrate_filter_weights
+
+    h5 = os.path.join(deck_dir, runname + ".h5")
+    if os.path.exists(h5):
+        deck = load_deck_hdf5(h5)
+        apr = os.path.join(deck_dir, runname + ".apr")
+        if os.path.exists(apr):
+            deck = dataclasses.replace(deck, apr_path=apr)
+    else:
+        deck = load_deck(deck_dir, runname)
+    if atm_override is not None:
+        deck = dataclasses.replace(deck, atmosphere=atm_override)
+    st = deck.settings
+    geom = deck.geometry
+    if geom.tanhe is None:
+        raise ValueError("limb retrieval needs tangent heights (TANHE, "
+                         "i.e. EMISS_ANG<0 in the .spx)")
+    tanhe = np.asarray(geom.tanhe)
+    if tanhe.ndim == 2:
+        tanhe = tanhe[:, 0]
+
+    sv = (sv_override if sv_override is not None
+          else read_apr(deck.apr_path, deck.atmosphere))
+
+    y_parts, se_parts = [], []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        y_parts.append(geom.meas[:nc, ig])
+        se_parts.append(geom.errmeas[:nc, ig] ** 2)
+    y = np.concatenate(y_parts)
+    se = np.diag(np.concatenate(se_parts))
+
+    # shared calc range over all geometries (nemesisLfm builds the ILS and
+    # wave range once over all geoms, ForwardModel_0.py:1282-1288)
+    vmin = min(float(geom.vconv[: geom.nconv[ig], ig].min())
+               for ig in range(geom.ngeom))
+    vmax = max(float(geom.vconv[: geom.nconv[ig], ig].max())
+               for ig in range(geom.ngeom))
+    ishape = InstrumentLineshape(st.ishape)
+    if geom.fwhm > 0.0:
+        if ishape == InstrumentLineshape.Square:
+            dv = 0.5 * geom.fwhm
+        elif ishape == InstrumentLineshape.Triangular:
+            dv = geom.fwhm
+        else:
+            dv = 3.0 * 0.5 * geom.fwhm / np.sqrt(np.log(2.0))
+        vmin, vmax = vmin - dv, vmax + dv
+    if st.v_doppler != 0.0:
+        from archnemesis_tpu.ops.convolution import invert_doppler_shift
+
+        lo = invert_doppler_shift(vmin, st.v_doppler, st.ispace)
+        hi = invert_doppler_shift(vmax, st.v_doppler, st.ispace)
+        vmin, vmax = min(vmin, lo), max(vmax, hi)
+    if isinstance(deck.ktables, RuntimeLBL):
+        ktw = deck.ktables.windowed(vmin, vmax)
+    else:
+        ktw = _windowed_ktab(deck, vmin, vmax)
+
+    has_447 = any(e.model_id == 447 for e in sv.entries)
+    has_777 = any(e.model_id == 777 for e in sv.entries)
+
+    wavecorr = conv_mod.doppler_corrected_wave(
+        np.asarray(ktw.wave), st.v_doppler, st.ispace)
+    intfilter = st.iform == SpectraUnit.Integrated_radiance
+    ils = []
+    for ig in range(geom.ngeom):
+        nc = geom.nconv[ig]
+        vconv = geom.vconv[:nc, ig]
+        if intfilter:
+            if geom.nfil is None:
+                raise ValueError("IFORM=Integrated_radiance requires a "
+                                 ".fil filter file")
+            ils.append(("intfilter_static", jnp.asarray(
+                integrate_filter_weights(
+                    wavecorr, np.asarray(vconv),
+                    geom.nfil, geom.vfil, geom.afil))))
+        elif geom.fwhm > 0.0:
+            ils.append(jnp.asarray(ils_weights_lbl(
+                wavecorr, np.asarray(vconv), geom.fwhm, ishape)))
+        elif geom.fwhm < 0.0 and geom.nfil is not None:
+            ils.append(jnp.asarray(ils_weights_filter(
+                wavecorr, np.asarray(vconv),
+                geom.nfil, geom.vfil, geom.afil)))
+        else:
+            ils.append(None)
+    if has_447 and any(w is not None for w in ils):
+        raise NotImplementedError(
+            "model 447 (retrieved Doppler) in a limb run needs the "
+            "differentiable convolution path (FWHM=0 channel "
+            "interpolation); FWHM>0 / .fil / filter-integration weights "
+            "are static")
+
+    geo = so_geometry(deck.atmosphere, deck.layer_config, tanhe,
+                      lfm_bracket=True)
+    cfg = make_forward_config(
+        deck.atmosphere, ktw, deck.cia,
+        iray=st.iray, ispace=st.ispace, gasgiant=True,
+    )
+
+    def forward_fn(xn):
+        atm = apply_state(deck.atmosphere, xn, sv, adjust_hydrostat=False)
+        meas_state = apply_domain(
+            sv, xn, "measurement",
+            {"v_doppler": st.v_doppler, "tanhe_shift": 0.0},
+        )
+        shift = meas_state["tanhe_shift"] if has_777 else None
+        v_dop = meas_state["v_doppler"]
+        spec = forward_limb_batch(
+            atm, deck.layer_config, ktw, deck.cia, deck.aerosol, cfg, geo,
+            tanhe_shift=shift,
+        )  # (NWAVE, NGEOM)
+        wave_obs = (conv_mod.doppler_corrected_wave(
+                        jnp.asarray(ktw.wave), v_dop, st.ispace)
+                    if has_447 else jnp.asarray(wavecorr))
+        out = []
+        for ig in range(geom.ngeom):
+            nc = geom.nconv[ig]
+            vconv = geom.vconv[:nc, ig]
+            s = spec[:, ig]
+            if ils[ig] is None:
+                conv = conv_channel_interp(wave_obs, s, jnp.asarray(vconv))
+            elif isinstance(ils[ig], tuple):
+                conv = apply_ils(ils[ig][1], s)
+            else:
+                conv = apply_ils(ils[ig], s)
+            out.append(apply_spectrum_models(sv, xn, ig, vconv, conv))
+        return jnp.concatenate(out)
+
+    return RetrievalSetup(
+        deck=deck, sv=sv, forward_fn=forward_fn, y=y, se=se,
+        vconv_list=[geom.vconv[: geom.nconv[ig], ig]
+                    for ig in range(geom.ngeom)],
+    )
+
+
 def make_retrieval_setup_c(
     deck_dir: str, runname: str, atm_override=None, sv_override=None
 ) -> RetrievalSetup:
@@ -978,6 +1130,7 @@ def retrieval_nemesis(
     verbose: bool = False,
     resume: bool = False,
     nemesis_so: bool = False,
+    nemesis_l: bool = False,
     nemesis_pt: bool = False,
     nemesis_disc: bool = False,
     nemesis_c: bool = False,
@@ -1020,6 +1173,7 @@ def retrieval_nemesis(
 
     _setup_fn = (
         make_retrieval_setup_so if nemesis_so
+        else make_retrieval_setup_limb if nemesis_l
         else make_retrieval_setup_transit if nemesis_pt
         else make_retrieval_setup_disc if nemesis_disc
         else make_retrieval_setup_c if nemesis_c

@@ -144,7 +144,9 @@ def limb_paths(
         scales.append(sf_all[layinc[:, ip]])
     scale = jnp.stack(scales, axis=1) * mask
 
-    emtemp = layers.temp[layinc] * mask
+    # keep real layer temperatures in the padding (contributions are masked
+    # in the emission einsum) — zeroing them makes planck's JVP NaN at T=0
+    emtemp = layers.temp[layinc]
     zero = jnp.zeros(npath, dtype=layers.temp.dtype)
     return Paths(
         layinc=layinc,
