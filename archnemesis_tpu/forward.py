@@ -35,7 +35,11 @@ from archnemesis_tpu.ops.cia import cia_tau
 from archnemesis_tpu.ops.dust import dust_tau
 from archnemesis_tpu.ops.ktab import interp_ktables
 from archnemesis_tpu.ops.overlap import g_bin_edges, mix_gas_k, overlap_nstraddle
-from archnemesis_tpu.rt.emission import thermal_emission_spectrum, transmission_spectrum
+from archnemesis_tpu.rt.emission import (
+    absorption_spectrum,
+    thermal_emission_spectrum,
+    transmission_spectrum,
+)
 from archnemesis_tpu.rt.layer import build_layers
 from archnemesis_tpu.rt.path import Paths, nadir_path
 from archnemesis_tpu.ops.rayleigh import rayleigh_tau
@@ -100,6 +104,24 @@ def make_forward_config(
         if i is None:
             raise ValueError(f"spectroscopy gas {g} iso {s} not in atmosphere")
         spec_idx.append(i)
+
+    # gas-coverage warning (reference check_gas_spec_atm
+    # ForwardModel_0.py:296-348): atmosphere gases without spectroscopy
+    # data contribute no opacity
+    uncovered = [
+        (g, s)
+        for g, s in zip(atm.gas_id, atm.iso_id)
+        if not any(
+            kg == g and (ks == s or ks == 0 or s == 0)
+            for kg, ks in zip(ktab.gas_id, ktab.iso_id)
+        )
+    ]
+    if uncovered:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "atmosphere gases without spectroscopy data (no line/band "
+            "opacity contribution): %s", uncovered)
 
     pair_q1, pair_q2, pair_active = [], [], []
     if cia is not None:
@@ -367,8 +389,13 @@ def path_spectrum(
             emission_path=emission_path,
             ispace=cfg.ispace,
         )
+    elif PathCalc.ABSORBTION in path.imod:
+        # 1 - transmission, useful for small transmissions (reference
+        # calculate_absorption_spectrum ForwardModel_0.py:4127-4136)
+        tau_total = jnp.sum(tau_layinc * path.mask[None, None, :, :], axis=2)
+        spec = absorption_spectrum(tau_total)
     elif not (
-        (PathCalc.ABSORBTION | PathCalc.MULTIPLE_SCATTERING
+        (PathCalc.MULTIPLE_SCATTERING
          | PathCalc.SINGLE_SCATTERING_PLANE_PARALLEL) & path.imod
     ):
         tau_total = jnp.sum(tau_layinc * path.mask[None, None, :, :], axis=2)

@@ -72,3 +72,37 @@ def test_layer_field(layers, golden, field, key):
     # exact zeros (e.g. AMOUNT above a gas's cutoff altitude)
     atol = 1e-18 * np.abs(want).max() if want.size else 0.0
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=atol, err_msg=field)
+
+
+def test_absorption_imod_branch():
+    """IMOD=ABSORBTION path dispatch: 1 - exp(-tau) (reference
+    calculate_absorption_spectrum ForwardModel_0.py:4127 + CIRSrad
+    dispatch :4485)."""
+    import jax.numpy as jnp
+
+    from archnemesis_tpu.enums import PathCalc
+    from archnemesis_tpu.forward import path_spectrum
+    from archnemesis_tpu.rt.path import Paths
+
+    nwave, ng, nlay = 4, 3, 5
+    rng = np.random.default_rng(1)
+    tau = jnp.asarray(rng.uniform(0.01, 2.0, (nwave, ng, nlay)))
+    layinc = jnp.arange(nlay, dtype=jnp.int32)[:, None]
+    ones = jnp.ones((nlay, 1))
+    zero = jnp.zeros(1)
+
+    def mk(imod):
+        return Paths(layinc=layinc, scale=ones * 1.5, emtemp=ones * 100.0,
+                     mask=ones, sol_ang=zero, emiss_ang=zero, azi_ang=zero,
+                     imod=imod, surface_visible=False)
+
+    class _Cfg:
+        gasgiant = True
+        ispace = 0
+
+    delg = jnp.full(ng, 1.0 / ng)
+    wave = jnp.linspace(600.0, 700.0, nwave)
+    tr = path_spectrum(_Cfg, wave, tau, mk(PathCalc(0)), None, delg)
+    ab = path_spectrum(_Cfg, wave, tau, mk(PathCalc.ABSORBTION), None, delg)
+    np.testing.assert_allclose(np.asarray(ab), 1.0 - np.asarray(tr),
+                               rtol=1e-12)
