@@ -76,17 +76,45 @@ def test_lin2_substitutes_apriori(chained_deck):
 def test_lin1_inflates_se_and_bakes_atmosphere(chained_deck):
     """LIN=1: the previous posterior folds through K_prev into SE
     (chisq drops vs an unchained run at the same state) and the base
-    atmosphere carries the previous state."""
+    atmosphere carries the previous state.
+
+    NOTE on yn: this deck's only variable is model 0 (continuous T), a
+    *replace*-type parameterisation — the new retrieval's forward at xa
+    overwrites the baked T again, so yn is identical to the unchained run.
+    That matches the reference exactly (subprofretg also replaces,
+    ForwardModel_0.py:2507; LIN=1 keeps FM_prev.AtmosphereX but the next
+    subprofretg overwrites it, Retrievals.py:190-196). The baking is
+    asserted on the base atmosphere instead.
+    """
+    from archnemesis_tpu.retrieval.statevector import apply_state
+    from archnemesis_tpu.retrievals import (
+        _match_prev_entries,
+        _prev_subset_sv,
+        make_retrieval_setup,
+    )
+
     dst, res0 = chained_deck
     res_plain = retrieval_nemesis(dst, "cirstest", lin=0, niter=0,
                                   write_outputs=False)
     res1 = retrieval_nemesis(dst, "cirstest", lin=1, niter=0,
                              write_outputs=False)
-    # the baked atmosphere changes the forward spectrum at the a-priori
-    assert not np.allclose(res1.yn, res_plain.yn, rtol=1e-9)
+    s = make_retrieval_setup(dst, "cirstest")
+    # the baked base atmosphere carries the previous retrieved T (which
+    # the niter=1 fixture run moved off the a-priori)
+    prev = out_mod.read_raw(os.path.join(dst, "cirstest.pre"))
+    assert not np.allclose(prev["xn"], s.sv.xa, rtol=1e-9)
+    sub_sv = _prev_subset_sv(
+        s.sv, _match_prev_entries(s.sv, prev), s.deck.atmosphere
+    )
+    atm_baked = apply_state(s.deck.atmosphere, prev["xn"], sub_sv)
+    assert not np.allclose(
+        np.asarray(atm_baked.t), np.asarray(s.deck.atmosphere.t), rtol=1e-9
+    )
+    # replace-type model: the forward at xa is reference-identically
+    # unchanged by the baking
+    np.testing.assert_allclose(res1.yn, res_plain.yn, rtol=1e-7)
     # SE inflation: chisq (measurement misfit weighted by SE^-1) must be
     # strictly smaller than with the uninflated SE at the same yn
-    s = make_retrieval_setup(dst, "cirstest")
     resid = res1.yn - s.y
     chisq_uninflated = float(
         resid @ np.linalg.solve(s.se, resid) / s.y.shape[0]
