@@ -7,9 +7,13 @@ Each model provides:
 - ``apply(entry, atm, x)`` (pure jnp): map its unlogged state-vector slice
   onto the Atmosphere pytree (reference calculate_from_subprofretg).
 
-Implemented: 0 (continuous profile), -1 (continuous aerosol in particles per
-gram — same as 0, aerosol target), 2 (simple scaling), 3 (log scaling),
-20 (knee profile variant) TODO, others to follow behind the registry.
+All 37 reference model ids are registered across this module,
+``domain_models.py`` and ``optics_models.py`` (see models/__init__.py for the
+full registry; reference Models/__init__.py:16-67).  This module holds the
+atmospheric-profile parameterisations: 0/-1 (continuous), 1/4/20/45 (knee),
+2/3/49/50/51 (scaling), 9/32/47 (cloud), 43/62 (exoplanet T), 110/111
+(Venus clouds), m1 (particles per gram), 666/777 (tangent P/h), 999 (Tsurf),
+1002 (multi-location scaling).
 """
 
 from __future__ import annotations

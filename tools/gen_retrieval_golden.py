@@ -40,6 +40,13 @@ def main():
     try:
         (Atmosphere, Measurement, Spectroscopy, Scatter, Stellar, Surface,
          CIA, Layer, Variables, Retrieval) = ans.Files.read_input_files("cirstest")
+        # Force the reference down its NUMERICAL (finite-difference) Jacobian
+        # path (ForwardModel_0.py:2251-2252 honours NUM==1 per element).  The
+        # reference's ANALYTIC K on this deck neglects the hydrostatic-T
+        # coupling and is wrong by ~10% of peak (see test_retrieval_e2e.py);
+        # this repo's AD Jacobian matches the reference FD column to <1e-5 of
+        # peak, so only the FD trajectory is a comparable oracle.
+        Variables.NUM[:] = 1
         ny = len(Measurement.Y)
         OptimalEstimation, phi_hist, chisq_hist = ans.coreretOE(
             runname="cirstest", Variables=Variables, Measurement=Measurement,
