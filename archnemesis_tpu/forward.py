@@ -785,9 +785,11 @@ def forward_scattering_nadir(
     """
     from archnemesis_tpu.ops.planck import planck
     from archnemesis_tpu.rt.scattering import (
+        brdf_fourier_matrix,
         henyey_greenstein2,
         scloud11wave,
     )
+    from archnemesis_tpu.rt.surface import surface_brdf_fn
 
     layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     wave = ktab.wave
@@ -800,12 +802,16 @@ def forward_scattering_nadir(
         radg = (planck(wave, surf.tsurf, ispace=int(cfg.ispace)) * emiss)[
             :, None
         ] * jnp.ones((1, nmu))
-        if surf.lowbc != 0:
-            raise NotImplementedError(
-                "non-thermal lower boundary (BRDF surface) not wired yet"
-            )
     else:
         radg = bnu[:, 0:1] * jnp.ones((1, nmu))
+    # reflective lower boundary: BRDF Fourier matrix enters the doubling
+    # ladder as the bottom layer (reference scloud11wave:5099-5103
+    # calc_brdf_matrix for LOWBC != THERMAL; Lambert AND Hapke/Oren-Nayar)
+    brdf_matrix = None
+    if surf is not None and not cfg.gasgiant and int(surf.lowbc) != 0:
+        brdf_matrix = brdf_fourier_matrix(
+            surface_brdf_fn(surf, wave), quad, wave.shape[0]
+        )
 
     sol = solar_flux(stellar, wave)
 
@@ -834,6 +840,7 @@ def forward_scattering_nadir(
     rad = scloud11wave(
         quad, phase_fns,
         radg=radg,
+        brdf_matrix=brdf_matrix,
         sol_ang=jnp.atleast_1d(jnp.asarray(sol_ang, dtype=wave.dtype)),
         emiss_ang=jnp.atleast_1d(jnp.asarray(emiss_ang, dtype=wave.dtype)),
         azi_ang=jnp.atleast_1d(jnp.asarray(azi_ang, dtype=wave.dtype)),
@@ -876,12 +883,7 @@ def forward_singlescat_nadir(
         scattering_cos_angle,
         single_scatter_plane_spectrum,
     )
-    from archnemesis_tpu.rt.surface import (
-        hapke_brdf,
-        hg_phase2,
-        lambert_brdf,
-        oren_nayar_brdf,
-    )
+    from archnemesis_tpu.rt.surface import hg_phase2
 
     layers = apply_dust_renorm(build_layers(atm, laycfg, layang=0.0), atm)
     wave = ktab.wave
@@ -935,15 +937,12 @@ def forward_singlescat_nadir(
     sol_a = jnp.atleast_1d(jnp.asarray(sol_ang, dtype=wave.dtype))
     emi_a = jnp.atleast_1d(jnp.asarray(emiss_ang, dtype=wave.dtype))
     azi_a = jnp.atleast_1d(jnp.asarray(azi_ang, dtype=wave.dtype))
-    if surf is not None and not cfg.gasgiant and surf.lowbc == 1:
-        albedo = jnp.where(
-            surf.galb >= 0.0,
-            surf.galb * jnp.ones_like(wave),
-            1.0 - emissivity,
-        )
-        brdf = lambert_brdf(albedo, 1)[:, 0]
-    elif surf is not None and not cfg.gasgiant and surf.lowbc == 2:
-        raise NotImplementedError("Hapke surface spectra not wired in decks yet")
+    if surf is not None and not cfg.gasgiant and int(surf.lowbc) != 0:
+        # reference calc_BRDF at the single path geometry (Lambert/Hapke/
+        # Oren-Nayar dispatch, Surface_0.py:916)
+        from archnemesis_tpu.rt.surface import surface_brdf_fn
+
+        brdf = surface_brdf_fn(surf, wave)(sol_a, emi_a, azi_a)[:, 0]
     else:
         brdf = jnp.zeros_like(wave)
 

@@ -155,7 +155,7 @@ def load_deck_hdf5(path: str) -> Deck:
         cia = None
         cia_table = None
         if "CIA" in f:
-            from archnemesis_tpu.io.legacy import REFERENCE_DATA
+            from archnemesis_tpu.data.datadir import data_path
             from archnemesis_tpu.io.cia import read_cia_h5, read_cia_tab
 
             cg = f["CIA"]
@@ -164,8 +164,7 @@ def load_deck_hdf5(path: str) -> Deck:
             inormal_cia = ParaH2Ratio(_scalar(cg, "INORMAL", default=0))
             dnu = _scalar(cg, "DNU", float, 10.0)
             npara = _scalar(cg, "NPARA", default=0)
-            tp = name if os.path.isabs(name) else os.path.join(
-                REFERENCE_DATA, "Data", "cia", name)
+            tp = name if os.path.isabs(name) else data_path("cia", name)
             if not os.path.exists(tp):
                 tp = os.path.join(base_dir, name)
             cia = (read_cia_h5(tp, inormal=inormal_cia) if tp.endswith(".h5")
@@ -210,6 +209,31 @@ def load_deck_hdf5(path: str) -> Deck:
         su = f["Surface"] if "Surface" in f else None
         tsurf = _scalar(su, "TSURF", float, 0.0) if su is not None else 0.0
         gasgiant = su is None or tsurf <= 0.0
+        lowbc_su = LowerBoundaryCondition(
+            _scalar(su, "LOWBC", default=0) if su is not None else 0
+        )
+        hapke = None
+        on_albedo = on_roughness = None
+        if su is not None and lowbc_su == LowerBoundaryCondition.HAPKE:
+            # reference Surface_0.read_hdf5:535-545 (HAPKE parameter block)
+            from archnemesis_tpu.core.spectra import HapkeParams
+
+            hapke = HapkeParams(
+                vem=su["VEM"][()].astype(float),
+                sglalb=su["SGLALB"][()].astype(float),
+                k=su["K"][()].astype(float),
+                bs0=su["BS0"][()].astype(float),
+                hs=su["hs"][()].astype(float),
+                bc0=su["BC0"][()].astype(float),
+                hc=su["hc"][()].astype(float),
+                roughness=su["ROUGHNESS"][()].astype(float),
+                g1=su["G1"][()].astype(float),
+                g2=su["G2"][()].astype(float),
+                f=su["F"][()].astype(float),
+            )
+        if su is not None and lowbc_su == LowerBoundaryCondition.OREN_NAYAR:
+            on_albedo = su["ALBEDO"][()].astype(float)
+            on_roughness = su["ROUGHNESS"][()].astype(float)
         surf = SurfaceSpec(
             tsurf=np.asarray(tsurf if not gasgiant else 0.0),
             vem=(su["VEM"][()].astype(float) if su is not None
@@ -217,9 +241,10 @@ def load_deck_hdf5(path: str) -> Deck:
             emissivity=(su["EMISSIVITY"][()].astype(float)
                         if su is not None else np.zeros(2)),
             galb=np.asarray(_scalar(su, "GALB", float, 0.0) if su is not None else 0.0),
-            lowbc=LowerBoundaryCondition(
-                _scalar(su, "LOWBC", default=0) if su is not None else 0
-            ),
+            hapke=hapke,
+            on_albedo=on_albedo,
+            on_roughness=on_roughness,
+            lowbc=lowbc_su,
             gasgiant=gasgiant,
         )
 

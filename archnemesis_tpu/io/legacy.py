@@ -37,7 +37,7 @@ from archnemesis_tpu.io.cia import read_cia_h5, read_cia_tab
 from archnemesis_tpu.io.ktables import read_kls, read_lls
 from archnemesis_tpu.rt.atmosphere import calc_grav, calc_molwt, gas_molwt_per_column
 
-REFERENCE_DATA = "/root/reference/archnemesis"
+from archnemesis_tpu.data.datadir import data_path, find_table  # noqa: E402
 
 
 @dataclass
@@ -385,10 +385,28 @@ def read_cia_file(path, inormal) -> CIATables:
         name = f.readline().split()[0]
         dnu = float(f.readline().split()[0])
         npara = int(f.readline().split()[0])
-    table = os.path.join(REFERENCE_DATA, "Data", "cia", name)
+    table = find_table(name, "cia", os.path.dirname(os.path.abspath(path)))
     if name.endswith(".h5"):
         return read_cia_h5(table, inormal=inormal)
     return read_cia_tab(table, dnu=dnu, npara=npara, inormal=inormal)
+
+
+def read_hap(path):
+    """.hap Hapke-parameter file (reference Surface_0.read_hap:1004):
+    NEM then NEM rows of [vem, sglalb, k, bs0, hs, bc0, hc, roughness,
+    g1, g2, f]."""
+    from archnemesis_tpu.core.spectra import HapkeParams
+
+    toks = open(path).read().split()
+    nem = int(toks[0])
+    rows = np.array([float(x) for x in toks[1 : 1 + 11 * nem]]).reshape(
+        nem, 11
+    )
+    return HapkeParams(
+        vem=rows[:, 0], sglalb=rows[:, 1], k=rows[:, 2], bs0=rows[:, 3],
+        hs=rows[:, 4], bc0=rows[:, 5], hc=rows[:, 6], roughness=rows[:, 7],
+        g1=rows[:, 8], g2=rows[:, 9], f=rows[:, 10],
+    )
 
 
 def read_sol(path, dist, ispace) -> StellarSpec:
@@ -397,8 +415,7 @@ def read_sol(path, dist, ispace) -> StellarSpec:
     from archnemesis_tpu.io import stellar as stellar_io
 
     return stellar_io.read_sol(
-        path, dist,
-        stellar_data_dir=os.path.join(REFERENCE_DATA, "Data", "stellar"),
+        path, dist, stellar_data_dir=data_path("stellar"),
     )
 
 
@@ -490,14 +507,18 @@ def load_deck(deck_dir: str, runname: str) -> Deck:
                 nem, 2
             )
             vem, emissivity = rows[:, 0], rows[:, 1]
+        hapke = None
+        lowbc = LowerBoundaryCondition(0 if gasgiant else setd["lowbc"])
+        if lowbc == LowerBoundaryCondition.HAPKE and os.path.exists(
+                runname + ".hap"):
+            hapke = read_hap(runname + ".hap")
         surf = SurfaceSpec(
             tsurf=np.asarray(0.0 if gasgiant else setd["tsurf"]),
             vem=vem,
             emissivity=emissivity,
             galb=np.asarray(0.0 if gasgiant else setd["galb"]),
-            lowbc=LowerBoundaryCondition(
-                0 if gasgiant else setd["lowbc"]
-            ),
+            hapke=hapke,
+            lowbc=lowbc,
             gasgiant=gasgiant,
         )
 

@@ -320,7 +320,8 @@ def read_lls_runtime(path: str) -> RuntimeLBL:
     gases = []
 
     def resolve(p):
-        p = p.replace("ARCHNEMESIS_PATH", "/root/reference")
+        p = p.replace("ARCHNEMESIS_PATH",
+                      os.environ.get("ARCHNEMESIS_PATH", "/root/reference"))
         return p if os.path.isabs(p) else os.path.join(base_dir, p)
 
     for raw in open(path):

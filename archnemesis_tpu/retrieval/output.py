@@ -183,15 +183,18 @@ def read_raw(path):
     """Read a .raw/.pre file back (counterpart of the reference read_pre
     Files.py:1623). Returns dict with varidents, per-entry nx unknown (the
     flat state is returned with lx/num flags and the ST covariance)."""
-    toks = []
     varidents = []
+    varparams = []
     with open(path) as f:
         lines = f.readlines()
     # header: 4 lines, then nvar blocks of 3 lines each
-    nvar = int(lines[3].split()[4])
+    hdr = lines[3].split()
+    npro, ngas, ndust = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    nvar = int(hdr[4])
     li = 4
     for _ in range(nvar):
         varidents.append(tuple(int(v) for v in lines[li + 1].split()[:3]))
+        varparams.append([float(v) for v in lines[li + 2].split()[:5]])
         li += 3
     nx = int(lines[li].split()[0])
     li += 1
@@ -205,7 +208,9 @@ def read_raw(path):
     st = np.zeros((nx, nx))
     flat = [float(lines[li + k].split()[0]) for k in range(nx * nx)]
     st[:, :] = np.asarray(flat).reshape(nx, nx)
-    return dict(varidents=varidents, xn=xn, lx=lx, num=num, st=st, nx=nx)
+    return dict(varidents=varidents, varparams=np.asarray(varparams),
+                xn=xn, lx=lx, num=num, st=st, nx=nx,
+                npro=npro, ngas=ngas, ndust=ndust)
 
 
 def read_itr(path):

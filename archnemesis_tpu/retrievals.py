@@ -1070,27 +1070,32 @@ def run_retrieval(
     return setup, res
 
 
-def _match_prev_entries(sv, prev):
+def _match_prev_entries(sv, prev, atm):
     """Match .pre varidents against the current state vector's entries.
 
-    The .pre stores only varidents + the flat state; block sizes come from
-    the matching current entries (same parameterisation => same NXVAR).
-    Returns [(entry, prev_offset)] in .pre order. Raises if a previous
-    variable has no current counterpart (reconstructing arbitrary models
-    from varparam alone is not supported yet).
+    Returns [(pre_entry, current_entry_or_None, prev_offset)] in .pre
+    order.  A previous variable with a current counterpart reuses that
+    entry (re-offset to the .pre layout); an UNMATCHED one is
+    reconstructed from its (varident, varparam) bookmark exactly as the
+    reference rebuilds Variables_prev in Files.read_pre:1623 via each
+    model's from_bookmark (Retrievals.py:171-290 then chains it).
     """
+    import dataclasses
+
+    from archnemesis_tpu.models.base import entry_from_varparam
+
     by_vid = {e.varident: e for e in sv.entries}
+    ctx = dict(npro=atm.np_, gas_id=atm.gas_id, iso_id=atm.iso_id,
+               ndust=atm.ndust)
     matched, ix2 = [], 0
-    for vid in prev["varidents"]:
-        e = by_vid.get(tuple(vid))
-        if e is None:
-            raise NotImplementedError(
-                f"previous-retrieval variable {vid} is not in the current "
-                "state vector; chaining unmatched variables needs "
-                "from-varparam model reconstruction"
-            )
-        matched.append((e, ix2))
-        ix2 += e.nx
+    for i, vid in enumerate(prev["varidents"]):
+        cur = by_vid.get(tuple(vid))
+        if cur is not None:
+            pe = dataclasses.replace(cur, ix=ix2)
+        else:
+            pe = entry_from_varparam(vid, prev["varparams"][i], ix2, ctx)
+        matched.append((pe, cur, ix2))
+        ix2 += pe.nx
     if ix2 != prev["nx"]:
         raise ValueError(
             f".pre state length {prev['nx']} != matched layout {ix2}"
@@ -1098,23 +1103,19 @@ def _match_prev_entries(sv, prev):
     return matched
 
 
-def _prev_subset_sv(sv, matched, atm):
-    """A StateVector holding only the previous retrieval's variables, with
-    offsets renumbered to the .pre layout — used to bake the previous state
-    into the base atmosphere (LIN=1/3, reference Retrievals.py:182-196)."""
-    import dataclasses
-
+def _prev_subset_sv(matched, prev, atm):
+    """A StateVector holding the previous retrieval's variables in the
+    .pre layout — used to bake the previous state into the base atmosphere
+    and form K_prev (LIN=1/3, reference Retrievals.py:182-196).  Log flags
+    come from the .pre itself (read_pre keeps the stored LX)."""
     from archnemesis_tpu.retrieval.statevector import StateVector
 
-    entries, lxs = [], []
-    for e, off in matched:
-        entries.append(dataclasses.replace(e, ix=off))
-        lxs.append(sv.lx[e.ix : e.ix + e.nx])
-    nx = sum(e.nx for e, _ in matched)
+    entries = tuple(pe for pe, _, _ in matched)
+    nx = prev["nx"]
     sub = StateVector(
-        entries=tuple(entries), nx=nx,
+        entries=entries, nx=nx,
         xa=np.zeros(nx), sa=np.eye(nx),
-        lx=np.concatenate(lxs) if lxs else np.zeros(0, dtype=int),
+        lx=np.asarray(prev["lx"], dtype=int),
         fix=np.zeros(nx, dtype=int), inum=np.zeros(nx, dtype=int),
     )
     return sub.with_iscale(atm.nvmr)
@@ -1188,28 +1189,34 @@ def retrieval_nemesis(
 
     if lin > 0:
         prev = out_mod.read_raw(os.path.join(deck_dir, runname + ".pre"))
-        matched = _match_prev_entries(sv, prev)
+        matched = _match_prev_entries(sv, prev, setup.deck.atmosphere)
         if lin in (2, 3):
-            # substitute matching-varident blocks (Retrievals.py:205-226)
-            for e, i2 in matched:
-                i1 = e.ix
-                xa[i1 : i1 + e.nx] = prev["xn"][i2 : i2 + e.nx]
-                sa[i1 : i1 + e.nx, i1 : i1 + e.nx] = prev["st"][
-                    i2 : i2 + e.nx, i2 : i2 + e.nx
+            # substitute matching-varident blocks (Retrievals.py:205-226);
+            # unmatched previous variables are not substituted (they are
+            # not in the current state vector) — they enter via LIN=1/3
+            # baking + forward-model error below.
+            for pe, cur, i2 in matched:
+                if cur is None:
+                    continue
+                i1, n = cur.ix, cur.nx
+                xa[i1 : i1 + n] = prev["xn"][i2 : i2 + n]
+                sa[i1 : i1 + n, i1 : i1 + n] = prev["st"][
+                    i2 : i2 + n, i2 : i2 + n
                 ]
         if lin in (1, 3):
             from archnemesis_tpu.retrieval.statevector import apply_state
 
-            sub_sv = _prev_subset_sv(sv, matched, setup.deck.atmosphere)
+            sub_sv = _prev_subset_sv(matched, prev, setup.deck.atmosphere)
 
             # forward-model error SE += K_prev ST K_prev^T, with K_prev the
             # Jacobian of the forward model over ONLY the previous
             # retrieval's variables around the previous state on the
             # pristine reference atmosphere (the reference's FM_prev,
             # Retrievals.py:182-188). For LIN=3 the columns of re-retrieved
-            # variables are zeroed (:262-275) — every matched variable is
-            # re-retrieved here, so SF vanishes.
-            if lin == 1:
+            # (matched) variables are zeroed (:262-275), so SF only carries
+            # the unmatched variables' uncertainty.
+            any_sf_cols = lin == 1 or any(cur is None for _, cur, _ in matched)
+            if any_sf_cols:
                 setup_prev = _setup_fn(
                     deck_dir, runname, sv_override=sub_sv
                 )
@@ -1218,6 +1225,10 @@ def retrieval_nemesis(
                         jnp.asarray(prev["xn"])
                     )
                 )
+                if lin == 3:
+                    for pe, cur, i2 in matched:
+                        if cur is not None:
+                            kk_prev[:, i2 : i2 + pe.nx] = 0.0
                 se = se + kk_prev @ prev["st"] @ kk_prev.T
 
             # bake the previous state into the base atmosphere

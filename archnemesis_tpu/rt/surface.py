@@ -200,3 +200,58 @@ def oren_nayar_brdf(albedo, roughness, sol_ang, emiss_ang, azi_ang):
         * (1.0 - cphi * (2.0 * beta / np.pi) ** 2)
     )
     return brdf1 + brdf2
+
+
+def surface_brdf_fn(surf, wave):
+    """Closure ``fn(sol_ang, emiss_ang, azi_ang) -> (NWAVE, NTHETA)`` for a
+    SurfaceSpec at the calc wave grid — the reference Surface_0.calc_BRDF
+    dispatch (Surface_0.py:916: Lambert :941, Hapke :949, Oren–Nayar :969),
+    with parameter spectra interpolated to ``wave`` up front.
+
+    Feed to rt.scattering.brdf_fourier_matrix for the doubling method, or
+    call directly with one geometry for single scatter.
+    """
+    wave = jnp.asarray(wave)
+    lowbc = int(surf.lowbc)
+    if lowbc == 1:  # Lambertian (calc_albedo: GALB<0 -> 1-emissivity)
+        emis = jnp.interp(wave, jnp.asarray(surf.vem),
+                          jnp.asarray(surf.emissivity))
+        albedo = jnp.where(
+            surf.galb >= 0.0, surf.galb * jnp.ones_like(wave), 1.0 - emis
+        )
+
+        def fn(sol_ang, emiss_ang, azi_ang):
+            return lambert_brdf(albedo, len(np.atleast_1d(emiss_ang)))
+
+        return fn
+    if lowbc == 2:  # Hapke
+        h = surf.hapke
+        if h is None:
+            raise ValueError("LOWBC=2 (Hapke) needs SurfaceSpec.hapke "
+                             "(.hap file or HDF5 Surface Hapke block)")
+        hv = jnp.asarray(h.vem)
+        p = [jnp.interp(wave, hv, jnp.asarray(getattr(h, name)))
+             for name in ("sglalb", "k", "bs0", "hs", "bc0", "hc",
+                          "roughness", "g1", "g2", "f")]
+
+        def fn(sol_ang, emiss_ang, azi_ang):
+            return hapke_brdf(*p, jnp.asarray(sol_ang),
+                              jnp.asarray(emiss_ang), jnp.asarray(azi_ang))
+
+        return fn
+    if lowbc == 3:  # Oren–Nayar
+        if surf.on_albedo is None:
+            raise ValueError("LOWBC=3 (Oren–Nayar) needs SurfaceSpec."
+                             "on_albedo/on_roughness")
+        alb = jnp.interp(wave, jnp.asarray(surf.vem),
+                         jnp.asarray(surf.on_albedo))
+        rough = jnp.interp(wave, jnp.asarray(surf.vem),
+                           jnp.asarray(surf.on_roughness))
+
+        def fn(sol_ang, emiss_ang, azi_ang):
+            return oren_nayar_brdf(alb, rough, jnp.asarray(sol_ang),
+                                   jnp.asarray(emiss_ang),
+                                   jnp.asarray(azi_ang))
+
+        return fn
+    raise ValueError(f"no BRDF for LOWBC={lowbc}")

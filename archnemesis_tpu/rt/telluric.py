@@ -112,11 +112,10 @@ def extract_atmosphere_circ() -> Atmosphere:
     Data/reference_profiles/earth_circ_case1.ref)."""
     import os
 
-    from archnemesis_tpu.io.legacy import REFERENCE_DATA, read_ref
+    from archnemesis_tpu.data.datadir import data_path
+    from archnemesis_tpu.io.legacy import read_ref
 
-    path = os.path.join(REFERENCE_DATA, "Data", "reference_profiles",
-                        "earth_circ_case1.ref")
-    return read_ref(path)
+    return read_ref(data_path("reference_profiles", "earth_circ_case1.ref"))
 
 
 def extract_atmosphere_era5(date: str = "01-01-2020",

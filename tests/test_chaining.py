@@ -104,7 +104,8 @@ def test_lin1_inflates_se_and_bakes_atmosphere(chained_deck):
     prev = out_mod.read_raw(os.path.join(dst, "cirstest.pre"))
     assert not np.allclose(prev["xn"], s.sv.xa, rtol=1e-9)
     sub_sv = _prev_subset_sv(
-        s.sv, _match_prev_entries(s.sv, prev), s.deck.atmosphere
+        _match_prev_entries(s.sv, prev, s.deck.atmosphere), prev,
+        s.deck.atmosphere,
     )
     atm_baked = apply_state(s.deck.atmosphere, prev["xn"], sub_sv)
     assert not np.allclose(
@@ -136,3 +137,50 @@ def test_lin3_substitutes_and_bakes(chained_deck):
     resid = res3.yn - s.y
     chisq = float(resid @ np.linalg.solve(s.se, resid) / s.y.shape[0])
     np.testing.assert_allclose(res3.chisq, chisq, rtol=1e-8)
+
+
+def test_lin1_unmatched_variable_bakes_into_yn(tmp_path):
+    """LIN=1 with a .pre variable that is NOT in the current .apr: the
+    previous model is reconstructed from its (varident, varparam) bookmark
+    (reference Files.read_pre:1623 from_bookmark; Retrievals.py:171-196),
+    baked into the base atmosphere, and -- being a scale-type model the new
+    retrieval does not re-apply -- visibly shifts yn vs an unchained run.
+    SE also inflates through K_prev over the unmatched variable."""
+    dst = str(tmp_path / "deck")
+    shutil.copytree(DECK, dst)
+    shutil.copytree("tests/fixtures/ktables", str(tmp_path / "ktables"))
+
+    apr1 = open(os.path.join(dst, "cirstest.apr")).read()
+
+    # two-variable .apr: continuous T + log-scale of NH3 (gas 11, model 3)
+    with open(os.path.join(dst, "cirstest.apr"), "w") as f:
+        f.write("** chained test apr **\n2\n")
+        f.write("0 0 0\ntestapr.dat\n")
+        f.write("11 0 3\n0.5 0.2\n")
+    retrieval_nemesis(dst, "cirstest", niter=1, write_outputs=True)
+    shutil.copyfile(
+        os.path.join(dst, "cirstest.raw"), os.path.join(dst, "cirstest.pre")
+    )
+    prev = out_mod.read_raw(os.path.join(dst, "cirstest.pre"))
+    assert len(prev["varidents"]) == 2
+
+    # back to the single-variable .apr: the NH3 scale is now unmatched
+    with open(os.path.join(dst, "cirstest.apr"), "w") as f:
+        f.write(apr1)
+    res_plain = retrieval_nemesis(dst, "cirstest", lin=0, niter=0,
+                                  write_outputs=False)
+    res1 = retrieval_nemesis(dst, "cirstest", lin=1, niter=0,
+                             write_outputs=False)
+
+    # the baked 0.5x NH3 scaling must shift the forward spectrum
+    dyn = np.abs(res1.yn - res_plain.yn) / np.abs(res_plain.yn).max()
+    assert dyn.max() > 1e-4, "baked unmatched variable left yn unchanged"
+
+    # and the unmatched variable's uncertainty must inflate SE (chisq drops
+    # vs recomputing with the deck SE at the same residual)
+    s = make_retrieval_setup(dst, "cirstest")
+    resid = res1.yn - s.y
+    chisq_uninflated = float(
+        resid @ np.linalg.solve(s.se, resid) / s.y.shape[0]
+    )
+    assert res1.chisq < chisq_uninflated

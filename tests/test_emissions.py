@@ -31,7 +31,7 @@ LAYER_GOLDEN = "tests/goldens/jupiter_layering.npz"
 EM_GOLDEN = "tests/goldens/jupiter_emissions_fm.npz"
 DECK = "tests/fixtures/jupiter_nadir"
 EMISS_DIR = "tests/fixtures/jupiter_emiss"
-CIA_TAB = "/root/reference/archnemesis/Data/cia/isotest.tab"
+CIA_TAB = "archnemesis_tpu/data/reference_data/cia/isotest.tab"
 
 
 @pytest.fixture(scope="module")

@@ -21,7 +21,7 @@ from archnemesis_tpu.ops.convolution import conv_channel_interp
 LAYER_GOLDEN = "tests/goldens/jupiter_layering.npz"
 FM_GOLDEN = "tests/goldens/jupiter_nadir_fm.npz"
 DECK = "tests/fixtures/jupiter_nadir"
-CIA_TAB = "/root/reference/archnemesis/Data/cia/isotest.tab"
+CIA_TAB = "archnemesis_tpu/data/reference_data/cia/isotest.tab"
 
 
 @pytest.fixture(scope="module")

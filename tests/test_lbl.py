@@ -14,7 +14,7 @@ from archnemesis_tpu.io.linedata import read_ans_linedata
 from archnemesis_tpu.ops.lbl import build_blocks, lbl_cross_section
 
 GOLDEN = "tests/goldens/co_lbl.npz"
-LINE_H5 = "/root/reference/tests/files/linedata/CO_1_ambient_AIR.h5"
+LINE_H5 = "tests/fixtures/linedata/CO_1_ambient_AIR.h5"
 
 
 @pytest.fixture(scope="module")

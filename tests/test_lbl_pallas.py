@@ -15,7 +15,7 @@ from archnemesis_tpu.io.linedata import read_ans_linedata
 from archnemesis_tpu.ops.lbl import build_blocks, lbl_cross_section
 from archnemesis_tpu.ops.lbl_pallas import lbl_cross_section_pallas
 
-LINE_H5 = "/root/reference/tests/files/linedata/CO_1_ambient_AIR.h5"
+LINE_H5 = "tests/fixtures/linedata/CO_1_ambient_AIR.h5"
 
 
 @pytest.fixture(scope="module")

@@ -20,7 +20,7 @@ from archnemesis_tpu.ops.tablegen import (
     generate_lbltable,
 )
 
-LINE_H5 = "/root/reference/tests/files/linedata/CO_1_ambient_AIR.h5"
+LINE_H5 = "tests/fixtures/linedata/CO_1_ambient_AIR.h5"
 FIX = "tests/fixtures/tablegen"
 
 

@@ -1,4 +1,5 @@
-"""Golden for the FULL OE retrieval on the Jupiter nadir deck: the reference
+"""Golden for the FULL OE retrieval on the reduced Jupiter deck
+(tests/fixtures/jupiter_fdret, tools/gen_fdret_fixture.py): the reference
 coreretOE trajectory (XN per iteration, PHI/CHISQ sequence, final fitted
 spectrum), mirroring the reference's own end-to-end retrieval test
 (tests/test_zzz_retrieval.py:122-212 asserts the output spectrum at
@@ -22,7 +23,7 @@ from tools.refutils import import_reference  # noqa: E402
 
 ans = import_reference()
 
-DECK = os.path.join(REPO, "tests", "fixtures", "jupiter_nadir")
+DECK = os.path.join(REPO, "tests", "fixtures", "jupiter_fdret")
 KTAB = os.path.join(REPO, "tests", "fixtures", "ktables")
 OUT = os.path.join(REPO, "tests", "goldens", "jupiter_retrieval.npz")
 
@@ -52,7 +53,7 @@ def main():
             runname="cirstest", Variables=Variables, Measurement=Measurement,
             Atmosphere=Atmosphere, Spectroscopy=Spectroscopy, Scatter=Scatter,
             Stellar=Stellar, Surface=Surface, CIA=CIA, Layer=Layer,
-            Telluric=None, NITER=NITER, PHILIMIT=Retrieval.PHILIMIT, NCores=1,
+            Telluric=None, NITER=NITER, PHILIMIT=Retrieval.PHILIMIT, NCores=2,
             return_phi_and_chisq_history=True,
         )
         np.savez(
