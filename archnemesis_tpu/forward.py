@@ -252,7 +252,23 @@ def layer_optical_depths(
             )
             amb = jnp.broadcast_to(1.0 - self_frac, (nlay,))
             k_i = 0.0
-            if ktab.include_lines[i]:
+            if ktab.include_lines[i] and ktab.shard_data:
+                # wave-sharded synthesis over the device mesh: per-shard
+                # halo'd line blocks under shard_map (parallel/sharded.py)
+                from archnemesis_tpu.parallel.sharded import (
+                    sharded_lbl_cross_section,
+                )
+
+                k_i = sharded_lbl_cross_section(
+                    ktab.line_lists[i], ktab.shard_data[i], ktab.mesh,
+                    layers.temp, press_atm, amb,
+                    lineshape=ktab.lineshape[i],
+                    s_floor=ktab.s_floor[i],
+                    wn_calc_window=ktab.wn_calc_window[i],
+                    wn_approx_window=ktab.wn_approx_window[i],
+                    include_pressure_shift=ktab.include_pressure_shift[i],
+                )  # (NWAVE, NLAY)
+            elif ktab.include_lines[i]:
                 k_i = lbl_cross_section(
                     ktab.line_lists[i], ktab.blocks[i],
                     layers.temp, press_atm, amb,

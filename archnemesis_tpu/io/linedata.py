@@ -239,6 +239,11 @@ class RuntimeLBL:
     include_lines: tuple = ()
     include_continuum: tuple = ()
 
+    # multi-chip: per-gas ShardedLblData + mesh (parallel/sharded.py
+    # shard_runtime_lbl); empty -> single-device synthesis
+    shard_data: tuple = ()
+    mesh: object = None
+
     del_g: np.ndarray = None
     ilbl: int = 1  # SpectralCalculationMode.LINE_BY_LINE_RUNTIME
 

@@ -50,23 +50,39 @@ class RetrievalSetup:
     vconv_list: list
 
 
-def _windowed_ktab(deck: Deck, wavemin, wavemax) -> KTables:
+def _windowed_ktab(deck: Deck, wavemin, wavemax, pad_multiple: int = 1) -> KTables:
     """Re-window the deck's tables for a geometry's wave range (the
     reference re-reads tables per geometry, ForwardModel_0.py:479-483;
     here we slice the already-loaded arrays). The bracket is inclusive of
     one grid point beyond each end (Spectroscopy_0.read_tables:1495-1501).
+
+    ``pad_multiple``: widen the window with extra REAL grid points so the
+    sliced NWAVE is divisible by it (wave-axis sharding over a device mesh
+    needs equal shards; the extra points carry zero ILS weight).
     """
     kt = deck.ktables
     wave = np.asarray(kt.wave)
     iwl = max(int(np.searchsorted(wave, wavemin, side="right")) - 1, 0)
     iwh = min(int(np.searchsorted(wave, wavemax, side="left")),
               wave.size - 1)
+    if pad_multiple > 1:
+        n = iwh - iwl + 1
+        extra = (-n) % pad_multiple
+        iwh = min(iwh + extra, wave.size - 1)
+        n = iwh - iwl + 1
+        extra = (-n) % pad_multiple
+        iwl = max(iwl - extra, 0)
+        if (iwh - iwl + 1) % pad_multiple:
+            raise ValueError(
+                f"k-table grid too small to pad window to a multiple of "
+                f"{pad_multiple}")
     sel = slice(iwl, iwh + 1)
     return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
 
 
 def make_retrieval_setup(
-    deck_dir: str, runname: str, atm_override=None, sv_override=None
+    deck_dir: str, runname: str, atm_override=None, sv_override=None,
+    wave_pad_multiple: int = 1, ktab_transform=None,
 ) -> RetrievalSetup:
     """Build the retrieval setup.
 
@@ -74,7 +90,13 @@ def make_retrieval_setup(
     chaining bakes the previous retrieval's state into the base profiles,
     reference Retrievals.py:190-196). ``sv_override`` swaps the state
     vector the forward function applies (used to linearise around a
-    previous retrieval's variables, the reference's FM_prev)."""
+    previous retrieval's variables, the reference's FM_prev).
+
+    ``wave_pad_multiple`` / ``ktab_transform``: multi-chip hooks — pad each
+    geometry's windowed calc grid to a shardable length and apply a
+    placement transform (e.g. parallel.mesh.shard_ktables_by_wave or
+    parallel.sharded.shard_runtime_lbl) to the windowed tables before the
+    forward closure captures them."""
     deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         import dataclasses
@@ -196,7 +218,10 @@ def make_retrieval_setup(
         if isinstance(deck.ktables, RuntimeLBL):
             ktw = deck.ktables.windowed(wavemin, wavemax)
         else:
-            ktw = _windowed_ktab(deck, wavemin, wavemax)
+            ktw = _windowed_ktab(deck, wavemin, wavemax,
+                                 pad_multiple=wave_pad_multiple)
+        if ktab_transform is not None:
+            ktw = ktab_transform(ktw)
         # ILS weight matrices live on the observer-frame (Doppler-corrected)
         # calc grid (reference conv/lblconv correct Wave first,
         # Measurement_0.py:2149)

@@ -1,15 +1,27 @@
-"""Disc-averaged retrieval-driver wiring (reference nemesisdiscfm +
-calc_avepoints_exoplanet): the quadrature rays run as one vmapped batch
-and the weighted average is differentiable."""
+"""Disc-averaged retrieval-driver parity (reference nemesisdiscfm
+ForwardModel_0.py:1609 + calc_avepoints_exoplanet Measurement_0.py:1680):
+the quadrature rays run as one vmapped batch and the weighted average is
+differentiable.
+
+Golden (tests/goldens/jupiter_disc_fm.npz, tools/gen_disc_retrieval_golden
+.py): the reference nemesisdiscfm on the Jupiter nadir deck at nmu=3,
+phase=0 — the exact configuration built here."""
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from archnemesis_tpu.retrievals import make_retrieval_setup, make_retrieval_setup_disc
+from archnemesis_tpu.retrievals import make_retrieval_setup_disc
 
 DECK = "tests/fixtures/jupiter_nadir"
+GOLDEN = "tests/goldens/jupiter_disc_fm.npz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="jupiter_disc_fm golden not generated"
+)
 
 
 @pytest.fixture(scope="module")
@@ -17,18 +29,14 @@ def setup():
     return make_retrieval_setup_disc(DECK, "cirstest", nmu=3)
 
 
-def test_disc_average_bounded_by_nadir(setup):
-    """The disc average of thermal radiance lies between the warmest and
-    coldest single-ray spectra; compare against the plain nadir driver."""
+def test_disc_forward_matches_reference(setup):
+    """Disc-averaged spectrum vs the reference nemesisdiscfm oracle."""
+    d = np.load(GOLDEN)
     y_disc = np.asarray(setup.forward_fn(jnp.asarray(setup.sv.xa)))
-    assert np.all(np.isfinite(y_disc)) and np.all(y_disc > 0)
-
-    nadir = make_retrieval_setup(DECK, "cirstest")
-    y_nadir = np.asarray(nadir.forward_fn(jnp.asarray(nadir.sv.xa)))
-    # limb darkening: disc average is below the nadir-ray radiance but
-    # within a factor ~2 for a smooth thermal spectrum
-    assert np.all(y_disc <= y_nadir * 1.05)
-    assert np.all(y_disc >= y_nadir * 0.3)
+    want = d["SPECONV"]
+    np.testing.assert_allclose(
+        y_disc, want, rtol=1e-5, atol=np.abs(want).max() * 1e-8
+    )
 
 
 def test_disc_jacfwd(setup):

@@ -1,0 +1,135 @@
+"""Wave-sharded forward parity on the 8-device virtual CPU mesh.
+
+Both opacity modes (VERDICT r3 item 2):
+- correlated-k: the Jupiter deck's windowed k-tables device_put with the
+  NWAVE axis sharded (parallel.mesh.shard_ktables_by_wave) through the full
+  retrieval-driver forward;
+- runtime LBL: the CO deck's line blocks partitioned into per-shard halo'd
+  line slices under shard_map (parallel.sharded.shard_runtime_lbl).
+
+Sharded and unsharded runs must agree to near machine precision (f64 on
+the CPU mesh; the compute graph is identical, only placement differs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from archnemesis_tpu.parallel.mesh import make_mesh, shard_ktables_by_wave
+
+NDEV = len(jax.devices())
+
+pytestmark = pytest.mark.skipif(
+    NDEV < 8, reason="needs the 8-device virtual CPU mesh (conftest)"
+)
+
+
+def test_ktable_deck_forward_sharded_matches():
+    from archnemesis_tpu.retrievals import make_retrieval_setup
+
+    deck_dir, run = "tests/fixtures/jupiter_fdret", "cirstest"
+    mesh = make_mesh(n_wave=4, n_data=2)
+
+    plain = make_retrieval_setup(deck_dir, run, wave_pad_multiple=4)
+    sharded = make_retrieval_setup(
+        deck_dir, run, wave_pad_multiple=4,
+        ktab_transform=lambda kt: shard_ktables_by_wave(kt, mesh),
+    )
+    xa = jnp.asarray(plain.sv.xa)
+    y0 = np.asarray(jax.jit(plain.forward_fn)(xa))
+    with mesh:
+        y1 = np.asarray(jax.jit(sharded.forward_fn)(xa))
+    np.testing.assert_allclose(y1, y0, rtol=1e-12, atol=np.abs(y0).max() * 1e-14)
+
+
+def test_ktable_deck_jacobian_sharded_matches():
+    from archnemesis_tpu.retrievals import make_retrieval_setup
+
+    deck_dir, run = "tests/fixtures/jupiter_fdret", "cirstest"
+    mesh = make_mesh(n_wave=8, n_data=1)
+
+    plain = make_retrieval_setup(deck_dir, run, wave_pad_multiple=8)
+    sharded = make_retrieval_setup(
+        deck_dir, run, wave_pad_multiple=8,
+        ktab_transform=lambda kt: shard_ktables_by_wave(kt, mesh),
+    )
+    xa = jnp.asarray(plain.sv.xa)
+    kk0 = np.asarray(jax.jacfwd(plain.forward_fn)(xa))
+    with mesh:
+        kk1 = np.asarray(jax.jacfwd(sharded.forward_fn)(xa))
+    np.testing.assert_allclose(
+        kk1, kk0, rtol=1e-10, atol=np.abs(kk0).max() * 1e-12
+    )
+
+
+def test_runtime_lbl_forward_sharded_matches():
+    from archnemesis_tpu.forward import forward_nadir, make_forward_config
+    from archnemesis_tpu.io.legacy import load_deck
+    from archnemesis_tpu.parallel.sharded import shard_runtime_lbl
+
+    deck = load_deck("tests/fixtures/co_runtime", "cirstest")
+    st = deck.settings
+    nconv = int(deck.geometry.nconv[0])
+    vconv = deck.geometry.vconv[:nconv, 0]
+    rt = deck.ktables.windowed(vconv.min(), vconv.max())
+
+    mesh = make_mesh(n_wave=8, n_data=1)
+    rt_sh = shard_runtime_lbl(rt, mesh)
+
+    cfg = make_forward_config(
+        deck.atmosphere, rt, None, iray=st.iray, ispace=st.ispace,
+        gasgiant=True,
+    )
+
+    spec0 = np.asarray(forward_nadir(
+        deck.atmosphere, deck.layer_config, rt, None, None, deck.surface,
+        cfg, emiss_ang=0.0,
+    ))
+    with mesh:
+        spec1 = np.asarray(forward_nadir(
+            deck.atmosphere, deck.layer_config, rt_sh, None, None,
+            deck.surface, cfg, emiss_ang=0.0,
+        ))
+    assert np.all(np.isfinite(spec1))
+    np.testing.assert_allclose(
+        spec1, spec0, rtol=1e-12, atol=np.abs(spec0).max() * 1e-14
+    )
+
+
+def test_sharded_lbl_cross_section_unit():
+    """Direct kernel-level parity: sharded_lbl_cross_section vs the plain
+    panel kernel for one gas, including the shard-boundary halo (lines whose
+    75 cm^-1 windows straddle shard edges contribute identically)."""
+    from archnemesis_tpu.io.legacy import load_deck
+    from archnemesis_tpu.ops.lbl import lbl_cross_section
+    from archnemesis_tpu.parallel.sharded import (
+        shard_lbl_blocks,
+        sharded_lbl_cross_section,
+    )
+
+    deck = load_deck("tests/fixtures/co_runtime", "cirstest")
+    nconv = int(deck.geometry.nconv[0])
+    vconv = deck.geometry.vconv[:nconv, 0]
+    rt = deck.ktables.windowed(vconv.min(), vconv.max())
+    ll, blocks = rt.line_lists[0], rt.blocks[0]
+
+    t = jnp.asarray([150.0, 210.0, 280.0])
+    p = jnp.asarray([0.5, 0.05, 0.005])
+    amb = jnp.asarray([0.9, 0.9, 0.9])
+
+    k0 = np.asarray(lbl_cross_section(
+        ll, blocks, t, p, amb, use_pallas=False,
+        s_floor=rt.s_floor[0],
+    ))
+    mesh = make_mesh(n_wave=8, n_data=1)
+    sh = shard_lbl_blocks(ll, blocks, 8)
+    from archnemesis_tpu.parallel.sharded import _place
+
+    sh = _place(sh, mesh)
+    with mesh:
+        k1 = np.asarray(sharded_lbl_cross_section(
+            ll, sh, mesh, t, p, amb, use_pallas=False,
+            s_floor=rt.s_floor[0],
+        ))
+    np.testing.assert_allclose(k1, k0, rtol=1e-12, atol=np.abs(k0).max() * 1e-15)
