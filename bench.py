@@ -1,11 +1,17 @@
-"""Benchmark: correlated-k nadir thermal-emission forward model throughput.
+"""Benchmark: forward-model throughput on the three driver-defined kernels.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline metric (continuity with earlier rounds):
+wavenumber-gridpoints/s/chip through the correlated-k nadir thermal
+forward (k-interpolation + 7-gas random-overlap mixing + CIA + Rayleigh +
+thermal emission RT), float32. The JSON tail adds the two other
+driver-defined kernels (BASELINE.json: "LBL + scattering"):
 
-Metric: wavenumber-gridpoints/s/chip through the full forward model
-(k-interpolation + 7-gas random-overlap mixing + CIA + Rayleigh + thermal
-emission RT) on a Jupiter-like problem in float32, on whatever backend JAX
-selects (the real TPU chip under the driver).
+- ``lbl_gridpoints_per_s``: runtime line-by-line Voigt synthesis (Pallas
+  kernel on TPU) through the same nadir RT chain — 80k waves at 1 mK
+  resolution, ~15k lines, 40 layers;
+- ``scattering_gridpoints_per_s``: nadir multiple-scattering forward
+  (adding–doubling core, NMU=5, NF=2, HG aerosol + Rayleigh + solar)
+  at 2048 waves x 10 g x 39 layers.
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -25,6 +31,158 @@ import numpy as np
 # 559 waves x 20 g x 71 layers forward model): ~40 s/eval -> 14 gridpoints/s.
 # x50 numba allowance -> 700 gridpoints/s/CPU assumed for the baseline.
 BASELINE_GRIDPOINTS_PER_S_CPU = 700.0
+
+
+def _time_reps(fn, args, nrep=3):
+    """Median-free simple timing: warmup+compile, then nrep reps fenced by a
+    host readback (block_until_ready is unreliable on the axon backend)."""
+    out = fn(*args)
+    _ = float(np.asarray(out).sum())  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(nrep):
+        out = fn(*args)
+    checksum = float(np.asarray(out).sum())
+    dt = (time.perf_counter() - t0) / nrep
+    assert np.isfinite(checksum), "non-finite forward output"
+    return dt
+
+
+def bench_lbl():
+    """Runtime-LBL nadir forward: Pallas Voigt synthesis at production
+    resolution (80k waves at 0.001 cm^-1, ~15k lines, 40 layers)."""
+    import dataclasses
+
+    import jax
+
+    from archnemesis_tpu.core.spectra import SurfaceSpec
+    from archnemesis_tpu.core.types import Atmosphere, LayerConfig
+    from archnemesis_tpu.enums import RayleighScatteringMode, WaveUnit
+    from archnemesis_tpu.forward import forward_nadir, make_forward_config
+    from archnemesis_tpu.io.linedata import read_lls_runtime
+
+    dtype = np.float32
+    nwave, nlay, npro = 80_000, 40, 41
+
+    rt = read_lls_runtime("tests/fixtures/co_runtime/cirstest.lls")
+    ll = rt.line_lists[0]
+    # tile the CO band's lines to a CH4-like density (~15k lines over
+    # 80 cm^-1) with jittered centres — the bench measures kernel
+    # throughput at a stated (lines, waves) shape, not CO physics
+    rng = np.random.default_rng(1)
+    reps = 60
+    nu = np.concatenate(
+        [ll.nu + rng.uniform(-20.0, 20.0) for _ in range(reps)]
+    )
+    order = np.argsort(nu)
+    tile = lambda a: np.concatenate([a] * reps)[order]  # noqa: E731
+    ll = dataclasses.replace(
+        ll, nu=nu[order], sw=tile(ll.sw) / reps, elower=tile(ll.elower),
+        stim_ref=tile(ll.stim_ref),
+        broad=np.stack([tile(ll.broad[i]) for i in range(6)]),
+    )
+    wave = np.arange(2110.0, 2190.0, 0.001)[:nwave]
+    rt = dataclasses.replace(rt, wave=wave, line_lists=(ll,))
+    rt = rt.windowed(2100.0, 2200.0)
+
+    h = np.linspace(0.0, 8.0e4, npro)
+    p = 700.0 * np.exp(-h / 1.1e4)
+    t = 210.0 - 60.0 * (h / 8.0e4)
+    vmr = np.concatenate(
+        [np.full((npro, 1), 8.0e-4), np.full((npro, 1), 0.95)], axis=1
+    )
+    atm = Atmosphere(
+        h=h.astype(dtype), p=p.astype(dtype), t=t.astype(dtype),
+        vmr=vmr.astype(dtype), dust=np.zeros((npro, 0), dtype=dtype),
+        parah2=np.zeros(npro, dtype=dtype),
+        molwt=np.full(npro, 43.5e-3, dtype=dtype),
+        radius=np.asarray(3.39e6, dtype=dtype),
+        latitude=np.asarray(0.0, dtype=dtype),
+        gas_id=(5, 2), iso_id=(1, 0), planet=4,
+    )
+    laycfg = LayerConfig(nlay=nlay, laytyp=1, layint=1, layht=0.0)
+    surf = SurfaceSpec(
+        tsurf=np.asarray(0.0, dtype=dtype),
+        vem=np.array([0.0, 1e5], dtype=dtype),
+        emissivity=np.zeros(2, dtype=dtype),
+        galb=np.asarray(0.0, dtype=dtype), gasgiant=True,
+    )
+    cfg = make_forward_config(
+        atm, rt, None, iray=RayleighScatteringMode.NOT_INCLUDED,
+        ispace=WaveUnit.Wavenumber_cm, gasgiant=True,
+    )
+    fwd = jax.jit(
+        lambda a: forward_nadir(a, laycfg, rt, None, None, surf, cfg,
+                                emiss_ang=0.0)
+    )
+    atm = jax.device_put(atm)
+    dt = _time_reps(fwd, (atm,))
+    return nwave / dt, dict(nwave=nwave, nlines=int(ll.nu.size), nlay=nlay)
+
+
+def bench_scattering(atm, ktab10, laycfg, surf):
+    """Nadir multiple-scattering forward: adding–doubling core at NMU=5,
+    NF=2, NPHI=100 with a 2-mode HG aerosol + Rayleigh + solar."""
+    import jax
+
+    from archnemesis_tpu.core.spectra import AerosolOptics, StellarSpec
+    from archnemesis_tpu.enums import RayleighScatteringMode, WaveUnit
+    from archnemesis_tpu.forward import (
+        forward_scattering_nadir,
+        make_forward_config,
+    )
+    from archnemesis_tpu.rt.scattering import ScatterQuadrature
+
+    dtype = np.float32
+    nwave = int(np.asarray(ktab10.wave).shape[0])
+    npro = atm.h.shape[0]
+
+    dust = np.exp(
+        -0.5 * ((np.linspace(0, 1, npro) - 0.4) / 0.15) ** 2
+    ).astype(dtype)
+    atm = atm.replace(dust=np.stack([dust, 0.5 * dust], axis=1))
+    wgrid = np.asarray(ktab10.wave, dtype=dtype)
+    aero = AerosolOptics(
+        wave=wgrid,
+        kext=np.stack(
+            [1e-4 * (wgrid / wgrid[0]) ** -0.5,
+             2e-4 * (wgrid / wgrid[0]) ** -1.0], axis=1
+        ).astype(dtype),
+        ksca=np.stack(
+            [0.9e-4 * (wgrid / wgrid[0]) ** -0.5,
+             1.2e-4 * (wgrid / wgrid[0]) ** -1.0], axis=1
+        ).astype(dtype),
+    )
+    hgphase = (
+        wgrid,
+        np.full((nwave, 2), 0.7, dtype=dtype),  # f
+        np.full((nwave, 2), 0.6, dtype=dtype),  # g1
+        np.full((nwave, 2), -0.3, dtype=dtype),  # g2
+    )
+    stellar = StellarSpec(
+        wave=wgrid, solspec=np.full(nwave, 1.0e15, dtype=dtype),
+        dist=np.asarray(5.2, dtype=dtype),
+        radius=np.asarray(6.96e8, dtype=dtype),
+        solexist=True, ispace=0,
+    )
+    mu, wt = np.polynomial.legendre.leggauss(2 * 5)
+    sel = mu > 0
+    quad = ScatterQuadrature(
+        mu=tuple(mu[sel]), wtmu=tuple(wt[sel]), nf=2, nphi=100
+    )
+    cfg = make_forward_config(
+        atm, ktab10, None, iray=RayleighScatteringMode.GAS_GIANT_ATM,
+        ispace=WaveUnit.Wavenumber_cm, gasgiant=True,
+    )
+    fwd = jax.jit(
+        lambda a, kt: forward_scattering_nadir(
+            a, laycfg, kt, None, aero, surf, stellar, cfg, quad, hgphase,
+            emiss_ang=30.0, sol_ang=45.0, azi_ang=60.0, iray_phase=True,
+        )
+    )
+    atm = jax.device_put(atm)
+    ktab10 = jax.device_put(ktab10)
+    dt = _time_reps(fwd, (atm, ktab10))
+    return nwave / dt, dict(nwave=nwave, nmu=5, nf=2, ng=10)
 
 
 def main():
@@ -121,6 +279,22 @@ def main():
     assert np.isfinite(checksum), "non-finite forward output"
 
     gridpoints_per_s = nwave / dt
+
+    # --- driver-defined kernels: runtime LBL + multiple scattering
+    lbl_gps, lbl_shape = bench_lbl()
+
+    ng_s, nwave_s = 10, 2048
+    xs, ws = np.polynomial.legendre.leggauss(ng_s)
+    g10, dg10 = 0.5 * (xs + 1), 0.5 * ws
+    ktab10 = KTables(
+        wave=wave[:nwave_s].astype(dtype), g_ord=g10.astype(dtype),
+        del_g=dg10.astype(dtype), press=press_grid.astype(dtype),
+        temp=temp_grid.astype(dtype),
+        k=np.ascontiguousarray(k[:, :nwave_s, :ng_s]).astype(dtype),
+        gas_id=gas_ids, iso_id=iso_ids,
+    )
+    scat_gps, scat_shape = bench_scattering(atm, ktab10, laycfg, surf)
+
     print(
         json.dumps(
             {
@@ -130,6 +304,10 @@ def main():
                 "vs_baseline": round(
                     gridpoints_per_s / BASELINE_GRIDPOINTS_PER_S_CPU, 2
                 ),
+                "lbl_gridpoints_per_s": round(lbl_gps, 1),
+                "lbl_shape": lbl_shape,
+                "scattering_gridpoints_per_s": round(scat_gps, 1),
+                "scattering_shape": scat_shape,
             }
         )
     )
