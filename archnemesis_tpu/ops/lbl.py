@@ -188,16 +188,46 @@ def lbl_cross_section(
 
     idx = jnp.asarray(blocks.line_idx)  # (B, M)
     lmask = jnp.asarray(blocks.line_mask)
-    wn = jnp.asarray(blocks.wn_pad).reshape(blocks.n_blocks, blocks.block_width)
+
+    # delta = wn - nu cancels catastrophically in f32 (both ~1e3 cm^-1,
+    # difference ~1e-3 at a line core -> ~4% delta error -> ~20% k error).
+    # Two-float split: hi parts subtract EXACTLY (Sterbenz: operands within
+    # a factor 2 whenever delta is small), lo parts restore the f64 ulps.
+    compute_dtype = jnp.result_type(jnp.asarray(t_calc).dtype, jnp.float32)
+    nu_arr, wn_arr = ll.nu, blocks.wn_pad
+    twofloat = (compute_dtype == jnp.float32
+                and isinstance(nu_arr, np.ndarray)
+                and nu_arr.dtype == np.float64)
+    if twofloat:
+        nu_hi = nu_arr.astype(np.float32)
+        nu_lo = jnp.asarray((nu_arr - nu_hi).astype(np.float32))
+        wn_hi = np.asarray(wn_arr).astype(np.float32)
+        wn_lo = jnp.asarray(
+            (np.asarray(wn_arr) - wn_hi).astype(np.float32)
+        ).reshape(blocks.n_blocks, blocks.block_width)
+        nu_hi = jnp.asarray(nu_hi)
+    else:
+        nu_hi, wn_hi = jnp.asarray(nu_arr), wn_arr
+        nu_lo = wn_lo = None
+    wn = jnp.asarray(wn_hi).reshape(blocks.n_blocks, blocks.block_width)
 
     def per_layer(s_l, a_l, g_l, sh_l):
         # gather per-block line params: (B, M)
         s = s_l[idx]
         a = a_l[idx]
         g = g_l[idx]
-        ctr = jnp.asarray(ll.nu)[idx] + sh_l[idx]
 
-        delta = wn[:, None, :] - ctr[:, :, None]  # (B, M, W)
+        if twofloat:
+            delta = (
+                (wn[:, None, :] - nu_hi[idx][:, :, None])
+                + (wn_lo[:, None, :] - nu_lo[idx][:, :, None])
+                - sh_l[idx][:, :, None]
+            )  # (B, M, W)
+        else:
+            # f64: keep the reference's association wn - (nu + shift)
+            # bit-compatibly (test_lbl asserts rtol 1e-12)
+            ctr = nu_hi[idx] + sh_l[idx]
+            delta = wn[:, None, :] - ctr[:, :, None]  # (B, M, W)
         in_win = (delta >= -wn_approx_window) & (delta < wn_approx_window)
         in_calc = (delta >= -wn_calc_window) & (delta < wn_calc_window)
 

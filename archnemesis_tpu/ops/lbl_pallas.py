@@ -36,41 +36,71 @@ from archnemesis_tpu.ops.lbl import DOPPLER_CONST, LblBlocks
 M_CHUNK = 512  # lines per inner grid step (panel = M_CHUNK x W floats)
 
 
-def _pad_block_lines(ll, blocks: LblBlocks, factor: float, include_shift: bool):
-    """Gather static line params into (NBLOCKS * M_pad, 1) column layouts.
+def _pad_line_columns(ll, factor: float, include_shift: bool):
+    """Pad the SORTED line-parameter arrays once to an M_CHUNK multiple —
+    (N_pad, 1) column layouts stored a single time in HBM.
 
-    Padding lines are given nu far outside any window and zero strength.
+    Per-block access happens through scalar-prefetched chunk offsets (the
+    blocks' line ranges are contiguous in the sorted list), so memory is
+    O(N) instead of the O(NBLOCKS * M) a per-block gather would cost —
+    with a dense line list every block references nearly the whole list
+    and the gather explodes.  Padding lines get nu far outside any window
+    and zero strength.
     """
-    m_pad = -(-blocks.max_lines_per_block // M_CHUNK) * M_CHUNK
-    nb = blocks.n_blocks
+    n = np.asarray(ll.nu).shape[0]
+    n_pad = max(-(-n // M_CHUNK) * M_CHUNK, M_CHUNK)
 
-    def gather(src, fill=0.0):
-        out = np.full((nb, m_pad), fill, dtype=np.float64)
-        src = np.asarray(src)
-        valid = blocks.line_mask.astype(bool)
-        out[:, : blocks.max_lines_per_block][valid] = src[
-            blocks.line_idx[valid]
-        ]
-        return out.reshape(nb * m_pad, 1)
+    def pad(src, fill=0.0):
+        out = np.full((n_pad, 1), fill, dtype=np.float64)
+        out[:n, 0] = np.asarray(src)
+        return out
 
+    nu64 = np.asarray(ll.nu, dtype=np.float64)
+    nu_hi32 = nu64.astype(np.float32)
     cols = {
-        "nu": gather(ll.nu, fill=-1.0e9),
-        "sw": gather(np.asarray(ll.sw) * factor),
-        "elower": gather(ll.elower),
-        "stim_ref": gather(ll.stim_ref, fill=1.0),
-        "g_self": gather(ll.broad[0]),
-        "n_self": gather(ll.broad[1]),
-        "g_amb": gather(ll.broad[3]),
-        "n_amb": gather(ll.broad[4]),
-        "d_amb": gather(ll.broad[5]) if include_shift else np.zeros((nb * m_pad, 1)),
+        "nu": pad(ll.nu, fill=-1.0e9),
+        # f32 lo part of nu (two-float delta, see ops/lbl.py): restores the
+        # f64 ulps the f32 hi part loses; zero when computing in f64
+        "nu_lo": pad(nu64 - nu_hi32),
+        "sw": pad(np.asarray(ll.sw) * factor),
+        "elower": pad(ll.elower),
+        "stim_ref": pad(ll.stim_ref, fill=1.0),
+        "g_self": pad(ll.broad[0]),
+        "n_self": pad(ll.broad[1]),
+        "g_amb": pad(ll.broad[3]),
+        "n_amb": pad(ll.broad[4]),
+        "d_amb": pad(ll.broad[5]) if include_shift else np.zeros((n_pad, 1)),
     }
-    return m_pad, cols
+    return n_pad, cols
+
+
+def _block_chunk_ranges(blocks: LblBlocks, n_pad: int):
+    """Per wave-block [first_chunk, n_chunks) line-chunk ranges (int32).
+
+    The block's line range is contiguous in the sorted list (build_blocks
+    uses searchsorted), so chunk granularity only adds lines just outside
+    the range — they fall outside the block's 75 cm^-1 window and
+    contribute exactly zero through the in_win mask.
+    """
+    counts = blocks.line_mask.sum(axis=1).astype(np.int64)
+    starts = np.where(counts > 0, blocks.line_idx[:, 0], 0)
+    ends = starts + counts
+    chunk0 = starts // M_CHUNK
+    nch = np.where(counts > 0, -(-ends // M_CHUNK) - chunk0, 0)
+    max_chunk = n_pad // M_CHUNK - 1
+    chunk0 = np.minimum(chunk0, max_chunk)
+    return (chunk0.astype(np.int32), nch.astype(np.int32),
+            int(max(nch.max(), 1)))
 
 
 def _lbl_kernel(
-    scal_ref,  # SMEM (1, 8): t, p, amb_frac, q_ratio
-    wn_ref,  # (1, W) wave block
-    nu_ref, sw_ref, el_ref, sr_ref, gs_ref, ns_ref, ga_ref, na_ref, da_ref,
+    chunk0_ref,  # scalar-prefetch (NB,): first line chunk of each block
+    nch_ref,  # scalar-prefetch (NB,): number of line chunks of each block
+    scal_ref,  # scalar-prefetch (NLAY, 8): t, p, amb_frac, q_ratio
+    wn_ref,  # (1, W) wave block (hi part)
+    wn_lo_ref,  # (1, W) f32 lo part of the wave grid (zero in f64)
+    nu_ref, nu_lo_ref, sw_ref, el_ref, sr_ref, gs_ref, ns_ref, ga_ref,
+    na_ref, da_ref,
     out_ref,  # (1, W)
     *,
     t_ref_const: float,
@@ -80,13 +110,15 @@ def _lbl_kernel(
     wn_calc: float,
     wn_approx: float,
     lineshape: str,
+    twofloat: bool,
 ):
     m = pl.program_id(2)
+    lay = pl.program_id(0)
 
-    t = scal_ref[0, 0]
-    p = scal_ref[0, 1]
-    amb = scal_ref[0, 2]
-    q_ratio = scal_ref[0, 3]
+    t = scal_ref[lay, 0]
+    p = scal_ref[lay, 1]
+    amb = scal_ref[lay, 2]
+    q_ratio = scal_ref[lay, 3]
 
     nu = nu_ref[:]  # (M_CHUNK, 1)
     boltz = jnp.exp(C2_CGS * (t - t_ref_const) / (t * t_ref_const) * el_ref[:])
@@ -100,11 +132,19 @@ def _lbl_kernel(
         t_ratio ** ns_ref[:] * gs_ref[:] * (1.0 - amb)
         + t_ratio ** na_ref[:] * ga_ref[:] * amb
     ) * p_ratio
-    ctr = nu + p_ratio * da_ref[:] * amb
+    shift = p_ratio * da_ref[:] * amb
 
     fn = voigt_mod.LINESHAPES[lineshape]
 
-    delta = wn_ref[:] - ctr  # (1, W) - (M, 1) -> (M, W)
+    if twofloat:
+        # two-float delta (see ops/lbl.py): hi parts subtract exactly where
+        # it matters, lo parts restore the f64 ulps
+        delta = (
+            (wn_ref[:] - nu) + (wn_lo_ref[:] - nu_lo_ref[:]) - shift
+        )  # (1, W) - (M, 1) -> (M, W)
+    else:
+        # f64: the reference's association wn - (nu + shift)
+        delta = wn_ref[:] - (nu + shift)
     in_win = (delta >= -wn_approx) & (delta < wn_approx)
     in_calc = (delta >= -wn_calc) & (delta < wn_calc)
 
@@ -116,17 +156,27 @@ def _lbl_kernel(
     panel = jnp.where(in_calc, core, wing) * in_win.astype(core.dtype) * weight
     contrib = jnp.sum(panel, axis=0, keepdims=True)  # (1, W)
 
+    b = pl.program_id(1)
+
     @pl.when(m == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] = out_ref[:] + contrib
+    # chunks beyond this block's line range are clamped re-reads of the
+    # last chunk; their lines sit outside the 75 cm^-1 window and in_win
+    # already zeroes them, but skip the accumulate to save VPU work
+    @pl.when(m < nch_ref[b])
+    def _():
+        out_ref[:] = out_ref[:] + contrib
 
 
 def _lbl_pallas_impl(
     blocks: LblBlocks,
-    m_pad: int,
-    cols_stacked,  # (9, NBLOCKS*m_pad, 1)
+    n_pad: int,
+    chunk0,  # (NB,) int32 scalar-prefetch
+    nch,  # (NB,) int32 scalar-prefetch
+    mc,  # grid extent of the line-chunk axis
+    cols_stacked,  # 10 x (N_pad, 1) line-parameter columns (stored once)
     scal,  # (NLAY, 8)
     *,
     t_ref_const, p_ref_const, mass, s_floor, wn_calc, wn_approx, lineshape,
@@ -135,32 +185,50 @@ def _lbl_pallas_impl(
     nlay = scal.shape[0]
     nb = blocks.n_blocks
     w = blocks.block_width
-    mc = m_pad // M_CHUNK
 
-    wn2d = jnp.asarray(blocks.wn_pad, dtype).reshape(nb, w)
-    line_spec = pl.BlockSpec(
-        (M_CHUNK, 1), lambda l, b, m: (b * (m_pad // M_CHUNK) + m, 0),
-        memory_space=pltpu.VMEM,
-    )
+    # TPU lowering requires the last-two block dims be (divisible by 8,
+    # divisible by 128) or equal to the array dims — single-row layouts
+    # (1, NB*W) with (1, W) blocks satisfy the "equal" clause on the
+    # sublane axis while keeping 128-lane alignment on the wave axis.
+    wn64 = np.asarray(blocks.wn_pad, dtype=np.float64)
+    wn1r = jnp.asarray(wn64, dtype).reshape(1, nb * w)
+    if dtype == jnp.float32:
+        wn1r_lo = jnp.asarray(
+            (wn64 - wn64.astype(np.float32)).astype(np.float32)
+        ).reshape(1, nb * w)
+    else:
+        wn1r_lo = jnp.zeros((1, nb * w), dtype)
+    max_chunk = n_pad // M_CHUNK - 1
+
+    def line_index(l, b, m, chunk0_ref, nch_ref, scal_ref):
+        return (jnp.minimum(chunk0_ref[b] + m, max_chunk), 0)
+
+    line_spec = pl.BlockSpec((M_CHUNK, 1), line_index)
     kwargs = dict(
         t_ref_const=t_ref_const, p_ref_const=p_ref_const, mass=mass,
         s_floor=s_floor, wn_calc=wn_calc, wn_approx=wn_approx,
-        lineshape=lineshape,
+        lineshape=lineshape, twofloat=dtype == jnp.float32,
     )
-    out = pl.pallas_call(
-        functools.partial(_lbl_kernel, **kwargs),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
         grid=(nlay, nb, mc),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda l, b, m: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, w), lambda l, b, m: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [line_spec] * 9,
-        out_specs=pl.BlockSpec((1, w), lambda l, b, m: (l, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nlay, nb * w), dtype),
+            pl.BlockSpec((1, w), lambda l, b, m, *_: (0, b)),
+            pl.BlockSpec((1, w), lambda l, b, m, *_: (0, b)),
+        ] + [line_spec] * 10,
+        out_specs=pl.BlockSpec((1, w), lambda l, b, m, *_: (0, l * nb + b)),
+    )
+    line_cols = [c.astype(dtype) for c in cols_stacked]
+    if dtype != jnp.float32:
+        line_cols[1] = jnp.zeros_like(line_cols[1])  # nu_lo only in f32
+    out = pl.pallas_call(
+        functools.partial(_lbl_kernel, **kwargs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, nlay * nb * w), dtype),
         interpret=interpret,
-    )(scal.astype(dtype), wn2d, *[c.astype(dtype) for c in cols_stacked])
+    )(jnp.asarray(chunk0), jnp.asarray(nch), scal.astype(dtype), wn1r,
+      wn1r_lo, *line_cols)
+    out = out.reshape(nlay, nb * w)
     return out[:, : blocks.n_wave].T  # (NWAVE, NLAY)
 
 
@@ -188,11 +256,12 @@ def lbl_cross_section_pallas(
     """
     if factor is None:
         factor = 1.0 if ll.iso_id != 0 else ll.abundance
-    m_pad, cols = _pad_block_lines(ll, blocks, factor, include_pressure_shift)
+    n_pad, cols = _pad_line_columns(ll, factor, include_pressure_shift)
+    chunk0, nch, mc = _block_chunk_ranges(blocks, n_pad)
     cols_tuple = tuple(
         jnp.asarray(cols[k])
-        for k in ("nu", "sw", "elower", "stim_ref", "g_self", "n_self",
-                  "g_amb", "n_amb", "d_amb")
+        for k in ("nu", "nu_lo", "sw", "elower", "stim_ref", "g_self",
+                  "n_self", "g_amb", "n_amb", "d_amb")
     )
 
     t_calc = jnp.asarray(t_calc)
@@ -209,7 +278,7 @@ def lbl_cross_section_pallas(
             [t, p, amb, q_ratio] + [jnp.zeros_like(t)] * 4, axis=1
         )
         return _lbl_pallas_impl(
-            blocks, m_pad, cols_tuple, scal,
+            blocks, n_pad, chunk0, nch, mc, cols_tuple, scal,
             t_ref_const=float(ll.t_ref), p_ref_const=float(ll.p_ref),
             mass=float(ll.mass), s_floor=s_floor, wn_calc=wn_calc_window,
             wn_approx=wn_approx_window, lineshape=lineshape,

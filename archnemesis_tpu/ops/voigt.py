@@ -35,9 +35,55 @@ A24 = np.array([
 ])
 
 
+def _cpf_continued_fraction(z_r, z_i):
+    """4-convergent Laplace continued fraction of w(z) for large |z|:
+
+        w(z) = (i/sqrt(pi)) / (z - 1/2/(z - 1/(z - 3/2/(z - 2/z))))
+
+    Relative accuracy better than ~1e-7 for |z|^2 >= 256 (far line wings),
+    where the Weideman rational expansion catastrophically cancels in
+    float32 (its O(1) Horner terms vs a ~y/|z|^2 result).  Real-pair
+    arithmetic so it lowers inside the Pallas TPU kernel (no complex64).
+    """
+
+    def cdiv_real(c, br, bi):
+        m = br * br + bi * bi
+        return c * br / m, -c * bi / m
+
+    qr, qi = cdiv_real(3.0, z_r, z_i)
+    d_r, d_i = z_r - qr, z_i - qi
+    for c in (2.5, 2.0, 1.5, 1.0, 0.5):
+        qr, qi = cdiv_real(c, d_r, d_i)
+        d_r, d_i = z_r - qr, z_i - qi
+    m = d_r * d_r + d_i * d_i
+    # w = (i/sqrt(pi)) / d
+    return INV_SQRT_PI * d_i / m, INV_SQRT_PI * d_r / m
+
+
+# |z|^2 above which the continued fraction replaces the Weideman expansion
+# in FLOAT32: the Weideman Horner sum cancels O(1) terms down to a
+# ~y/|z|^2 result, so its f32 relative error blows up in the far wings
+# (measured ~1% at |z|~12, ~18% at |z|~1e3); the 6-convergent CF truncation
+# error is <3e-7 for |z|>=7 — below f32 rounding. FLOAT64 keeps pure
+# Weideman everywhere: that is bit-comparable with the reference
+# (voigt_schreier.py:17), which defines the parity contract.
+_ASYM_R2 = 49.0
+
+
 def complex_err_fn_weideman24(z_r, z_i):
-    """Real/imag parts of w(z) = e^{-z^2} erfc(-iz) via the Weideman-24
-    rational expansion (matches reference complex_err_fn_weideman_24a)."""
+    """Real/imag parts of w(z) = e^{-z^2} erfc(-iz): the Weideman-24
+    rational expansion (matches reference complex_err_fn_weideman_24a),
+    with a continued-fraction far-wing branch in float32 (see
+    _cpf_continued_fraction)."""
+    f32 = jnp.result_type(z_r) == jnp.float32
+    if f32:
+        r2 = z_r * z_r + z_i * z_i
+        asym = r2 > _ASYM_R2
+        # keep the untaken branch finite so jnp.where grads stay NaN-free
+        zs_r = jnp.where(asym, z_r, 30.0)
+        zs_i = jnp.where(asym, z_i, 0.0)
+        cf_r, cf_i = _cpf_continued_fraction(zs_r, zs_i)
+
     lp_iz_r = L24 - z_i
     lp_iz_i = z_r
     lm_iz_r = L24 + z_i
@@ -64,6 +110,8 @@ def complex_err_fn_weideman24(z_r, z_i):
     x_i = 2.0 * x_i
     w_r = x_r * inv_r - x_i * inv_i
     w_i = x_r * inv_i + x_i * inv_r
+    if f32:
+        return jnp.where(asym, cf_r, w_r), jnp.where(asym, cf_i, w_i)
     return w_r, w_i
 
 

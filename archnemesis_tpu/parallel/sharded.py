@@ -184,7 +184,7 @@ def sharded_lbl_cross_section(
         body, mesh=mesh,
         in_specs=(w, w, w, w, w, w, w, w, r, r, r),
         out_specs=w,
-        check_rep=False,
+        check_vma=False,
     )(sh.line_idx, sh.line_mask, sh.wn, sh.nu, sh.sw, sh.elower,
       sh.stim_ref, sh.broad, t_calc, p_calc, amb_frac)
     # (S, Bs*W, NLAY) -> (S*Bs*W, NLAY), trimmed to the true grid

@@ -80,9 +80,31 @@ def _windowed_ktab(deck: Deck, wavemin, wavemax, pad_multiple: int = 1) -> KTabl
     return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
 
 
+def cast_deck_components(deck: Deck, dtype) -> Deck:
+    """Cast a loaded deck's floating component pytrees to ``dtype`` (the
+    f32/bf16 TPU production path): core.spectra.cast_deck per component,
+    which also prescales CIA tables out of the float32 subnormal range.
+    RuntimeLBL line lists stay f64 host-side (their jnp conversion
+    truncates at trace time; strengths below f32-tiny are s_floor
+    territory)."""
+    import dataclasses
+
+    from archnemesis_tpu.core.spectra import cast_deck
+    from archnemesis_tpu.io.linedata import RuntimeLBL
+
+    casted = {}
+    for name in ("atmosphere", "ktables", "cia", "aerosol", "surface",
+                 "stellar", "hgphase"):
+        v = getattr(deck, name)
+        if v is None or isinstance(v, RuntimeLBL):
+            continue
+        casted[name] = cast_deck(v, dtype)
+    return dataclasses.replace(deck, **casted)
+
+
 def make_retrieval_setup(
     deck_dir: str, runname: str, atm_override=None, sv_override=None,
-    wave_pad_multiple: int = 1, ktab_transform=None,
+    wave_pad_multiple: int = 1, ktab_transform=None, cast_dtype=None,
 ) -> RetrievalSetup:
     """Build the retrieval setup.
 
@@ -102,6 +124,8 @@ def make_retrieval_setup(
         import dataclasses
 
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    if cast_dtype is not None:
+        deck = cast_deck_components(deck, cast_dtype)
     st = deck.settings
     iscat = ScatteringCalculationMode(deck.settings.iscat)
     if iscat not in (
