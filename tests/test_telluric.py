@@ -159,3 +159,68 @@ def test_extract_atmosphere_era5_gated_offline():
 
     with _pytest.raises(NotImplementedError, match="cdsapi"):
         extract_atmosphere_era5()
+
+
+def test_era5_request_construction():
+    """Pure CDS request builder (reference extract_atmosphere_era5:
+    Telluric_0.py:211-291): grid-cell bracketing, hour rounding, level
+    grid — no cdsapi needed."""
+    from archnemesis_tpu.rt.telluric import ERA5_PRESS_LEVELS_HPA, era5_request
+
+    dataset, req, press = era5_request(
+        "01-01-2020", "10:47:13", 19.82067, -155.46806
+    )
+    assert dataset == "reanalysis-era5-pressure-levels"
+    # minute>=30 rounds up to the next hour
+    assert req["time"] == "11:00" and req["day"] == "01"
+    assert len(req["pressure_level"]) == ERA5_PRESS_LEVELS_HPA.size
+    # the 0.25-deg cell brackets the location
+    lat0, lon0, lat1, lon1 = req["area"]
+    assert lat0 <= 19.82067 <= lat1
+    assert lon0 <= -155.46806 <= lon1
+    assert abs(lat1 - lat0 - 0.25) < 1e-12
+    # profile ordering is max->min pressure in Pa
+    assert press[0] == 100000.0 and press[-1] == 100.0
+
+    _, req2, _ = era5_request("31-12-2020", "23:45:00", 0.0, 0.0)
+    assert req2["year"] == "2021" and req2["day"] == "01"
+
+
+def test_era5_profiles_to_atmosphere():
+    """Profile assembly (reference :297-375): q -> H2O VMR, O3 MMR -> VMR,
+    CIRC fill species, hydrostatic altitudes — no network needed."""
+    from archnemesis_tpu.rt.telluric import (
+        era5_profiles_to_atmosphere,
+        grib_interp_location,
+    )
+
+    _, _, press = __import__(
+        "archnemesis_tpu.rt.telluric", fromlist=["era5_request"]
+    ).era5_request("01-01-2020", "00:00:00", 19.8, -155.5)
+    n = press.size
+    temp = 290.0 - 70.0 * np.linspace(0, 1, n)
+    q = 1.0e-2 * np.exp(-np.linspace(0, 6, n))
+    o3 = 1.0e-6 * np.exp(-((np.linspace(0, 1, n) - 0.8) / 0.2) ** 2)
+    atm = era5_profiles_to_atmosphere(press, temp, q, o3, 19.8, -155.5)
+    assert atm.planet == 3 and atm.gas_id[0] == 1
+    assert atm.vmr.shape == (n, 8)
+    np.testing.assert_allclose(
+        np.asarray(atm.vmr)[:, 0], q / (1 - q), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(atm.vmr)[:, 2], o3 / 0.048 * 0.0289644, rtol=1e-12
+    )
+    # CIRC-filled CO2 is ~400 ppm-ish and constant-ish in the troposphere
+    co2 = np.asarray(atm.vmr)[:, 1]
+    assert 2e-4 < co2[0] < 6e-4
+    # altitudes increase monotonically from ~0
+    h = np.asarray(atm.h)
+    assert h[0] == 0.0 and np.all(np.diff(h) > 0) and h[-1] > 3.5e4
+
+    # grib bilinear interp: constant field stays constant
+    lats = np.array([[19.75, 19.75], [20.0, 20.0]])
+    lons = np.array([[-155.75, -155.5], [-155.75, -155.5]])
+    f = np.full((2, 2, 3), 7.0)
+    np.testing.assert_allclose(
+        grib_interp_location(f, lats, lons, 19.8, -155.6), 7.0
+    )
