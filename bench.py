@@ -11,7 +11,8 @@ driver-defined kernels (BASELINE.json: "LBL + scattering"):
   resolution, ~15k lines, 40 layers;
 - ``scattering_gridpoints_per_s``: nadir multiple-scattering forward
   (adding–doubling core, NMU=5, NF=2, HG aerosol + Rayleigh + solar)
-  at 2048 waves x 10 g x 39 layers.
+  at 512 waves x 10 g x 39 layers (the per-tile shape production runs
+  tile the wave axis at; 2048 waves exceeds the v5e's 16G HBM).
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -22,9 +23,14 @@ documented in BASELINE.md.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
 # Reference-oracle measurement (this host, pure-Python, Jupiter deck:
@@ -254,6 +260,7 @@ def main():
         ispace=WaveUnit.Wavenumber_cm, gasgiant=True,
     )
 
+    _log("headline: compiling + transferring tables")
     fwd = jax.jit(
         lambda a, kt: forward_nadir(a, laycfg, kt, None, None, surf, cfg, emiss_ang=0.0)
     )
@@ -279,11 +286,17 @@ def main():
     assert np.isfinite(checksum), "non-finite forward output"
 
     gridpoints_per_s = nwave / dt
+    _log(f"headline done: {gridpoints_per_s:.0f} gp/s")
 
     # --- driver-defined kernels: runtime LBL + multiple scattering
+    _log("lbl stage")
     lbl_gps, lbl_shape = bench_lbl()
+    _log(f"lbl done: {lbl_gps:.0f} gp/s")
 
-    ng_s, nwave_s = 10, 2048
+    # adding-doubling holds (nwave, ng, nlay, nmu, nmu) R/T/J stacks live
+    # through the scan; 512 waves x 10 g fits the v5e's 16G HBM (2048 OOMs
+    # at 32G) — production runs tile the wave axis at this granularity
+    ng_s, nwave_s = 10, 512
     xs, ws = np.polynomial.legendre.leggauss(ng_s)
     g10, dg10 = 0.5 * (xs + 1), 0.5 * ws
     ktab10 = KTables(
@@ -293,7 +306,9 @@ def main():
         k=np.ascontiguousarray(k[:, :nwave_s, :ng_s]).astype(dtype),
         gas_id=gas_ids, iso_id=iso_ids,
     )
+    _log("scattering stage")
     scat_gps, scat_shape = bench_scattering(atm, ktab10, laycfg, surf)
+    _log(f"scattering done: {scat_gps:.0f} gp/s")
 
     print(
         json.dumps(

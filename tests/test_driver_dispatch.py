@@ -10,7 +10,8 @@ import pytest
 
 from archnemesis_tpu.retrievals import retrieval_nemesis
 
-DECK = "tests/fixtures/jupiter_nadir"
+# reduced deck: dispatch/progress-file semantics are deck-independent
+DECK = "tests/fixtures/jupiter_fdret"
 
 
 @pytest.fixture()

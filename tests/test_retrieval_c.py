@@ -32,11 +32,19 @@ def test_matches_nadir_driver(setup_c):
     np.testing.assert_allclose(y_c, y_n, rtol=1e-10)
 
 
-def test_jacfwd_through_c_driver(setup_c):
-    kk = np.asarray(jax.jacfwd(setup_c.forward_fn)(jnp.asarray(setup_c.sv.xa)))
-    assert kk.shape == (setup_c.y.size, setup_c.sv.nx)
-    assert np.all(np.isfinite(kk))
-    assert np.all(np.abs(kk).max(axis=0) > 0.0)
+def test_jacobian_probes_through_c_driver(setup_c):
+    """Differentiability smoke via JVP probes at a few state-vector levels
+    (see test_retrieval_disc; the full Jacobian is oracle-verified on the
+    scattering driver in test_retrieval_scattering)."""
+    xa = jnp.asarray(setup_c.sv.xa)
+    nx = xa.shape[0]
+    for ix in (0, nx // 2, nx - 1):
+        tangent = jnp.zeros_like(xa).at[ix].set(1.0)
+        y, dy = jax.jvp(setup_c.forward_fn, (xa,), (tangent,))
+        assert y.shape == (setup_c.y.size,)
+        dy = np.asarray(dy)
+        assert np.all(np.isfinite(dy))
+        assert np.abs(dy).max() > 0.0, f"dead column {ix}"
 
 
 def test_rejects_mixed_looking_directions():

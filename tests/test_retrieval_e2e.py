@@ -131,13 +131,16 @@ def test_output_writers_reference_readable():
     from archnemesis_tpu.retrieval.output import read_raw
     from archnemesis_tpu.retrievals import retrieval_nemesis
 
-    base = os.path.join(DECK, "cirstest")
+    # format byte-compatibility is deck-independent; the reduced deck cuts
+    # the jacfwd the writers need from ~3 min to seconds
+    WDECK = "tests/fixtures/jupiter_fdret"
+    base = os.path.join(WDECK, "cirstest")
     created = [base + ext for ext in (".mre", ".cov", ".raw", ".itr", ".pre")]
     try:
         # niter=0: the OE loop still produces yn/K/gain/covariances at the
         # a-priori — enough to exercise every writer (a jacfwd eval costs
         # ~3 min of CPU here, so keep the iteration count minimal)
-        res = retrieval_nemesis(DECK, "cirstest", niter=0, write_outputs=True)
+        res = retrieval_nemesis(WDECK, "cirstest", niter=0, write_outputs=True)
         assert os.path.exists(base + ".mre")
 
         # --- .mre through the reference reader (xfac=1e9 for radiance/cm-1)
@@ -164,7 +167,7 @@ def test_output_writers_reference_readable():
 
         # --- LIN=2 chaining: previous posterior becomes the new a-priori
         res2 = retrieval_nemesis(
-            DECK, "cirstest", lin=2, niter=0, write_outputs=False
+            WDECK, "cirstest", lin=2, niter=0, write_outputs=False
         )
         np.testing.assert_allclose(res2.xn, res.xn, rtol=1e-10)
     finally:

@@ -55,12 +55,18 @@ def test_ktable_deck_jacobian_sharded_matches():
         ktab_transform=lambda kt: shard_ktables_by_wave(kt, mesh),
     )
     xa = jnp.asarray(plain.sv.xa)
-    kk0 = np.asarray(jax.jacfwd(plain.forward_fn)(xa))
-    with mesh:
-        kk1 = np.asarray(jax.jacfwd(sharded.forward_fn)(xa))
-    np.testing.assert_allclose(
-        kk1, kk0, rtol=1e-10, atol=np.abs(kk0).max() * 1e-12
-    )
+    nx = xa.shape[0]
+    # three representative Jacobian columns (full jacfwd over 41 tangents
+    # costs ~2.5 min on the virtual mesh for the same evidence)
+    for ix in (0, nx // 2, nx - 1):
+        tangent = jnp.zeros_like(xa).at[ix].set(1.0)
+        _, dy0 = jax.jvp(plain.forward_fn, (xa,), (tangent,))
+        with mesh:
+            _, dy1 = jax.jvp(sharded.forward_fn, (xa,), (tangent,))
+        dy0, dy1 = np.asarray(dy0), np.asarray(dy1)
+        np.testing.assert_allclose(
+            dy1, dy0, rtol=1e-10, atol=np.abs(dy0).max() * 1e-12
+        )
 
 
 def test_runtime_lbl_forward_sharded_matches():
@@ -68,11 +74,17 @@ def test_runtime_lbl_forward_sharded_matches():
     from archnemesis_tpu.io.legacy import load_deck
     from archnemesis_tpu.parallel.sharded import shard_runtime_lbl
 
+    import dataclasses
+
     deck = load_deck("tests/fixtures/co_runtime", "cirstest")
     st = deck.settings
     nconv = int(deck.geometry.nconv[0])
     vconv = deck.geometry.vconv[:nconv, 0]
-    rt = deck.ktables.windowed(vconv.min(), vconv.max())
+    # 512-point sub-grid: sharding parity doesn't need the full band and
+    # the XLA LBL panel on the virtual mesh costs ~2 min at 1600 points
+    rt = dataclasses.replace(deck.ktables,
+                             wave=np.asarray(deck.ktables.wave)[:512])
+    rt = rt.windowed(vconv.min(), vconv.max())
 
     mesh = make_mesh(n_wave=8, n_data=1)
     rt_sh = shard_runtime_lbl(rt, mesh)
