@@ -11,8 +11,9 @@ driver-defined kernels (BASELINE.json: "LBL + scattering"):
   resolution, ~15k lines, 40 layers;
 - ``scattering_gridpoints_per_s``: nadir multiple-scattering forward
   (adding–doubling core, NMU=5, NF=2, HG aerosol + Rayleigh + solar)
-  at 512 waves x 10 g x 39 layers (the per-tile shape production runs
-  tile the wave axis at; 2048 waves exceeds the v5e's 16G HBM).
+  at 256 waves x 10 g x 39 layers (the per-tile shape production runs
+  tile the wave axis at; the adding-doubling scan keeps (nwave, ng, nlay,
+  nmu, nmu) R/T/J stacks live, so 2048 waves exceeds the v5e's 16G HBM).
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -125,10 +126,12 @@ def bench_lbl():
     return nwave / dt, dict(nwave=nwave, nlines=int(ll.nu.size), nlay=nlay)
 
 
-def bench_scattering(atm, ktab10, laycfg, surf):
+def bench_scattering(atm, ktab10, laycfg_headline, surf):
     """Nadir multiple-scattering forward: adding–doubling core at NMU=5,
-    NF=2, NPHI=100 with a 2-mode HG aerosol + Rayleigh + solar."""
+    NF=2, NPHI=100 with a 2-mode HG aerosol + Rayleigh + solar, 39 layers."""
     import jax
+
+    from archnemesis_tpu.core.types import LayerConfig
 
     from archnemesis_tpu.core.spectra import AerosolOptics, StellarSpec
     from archnemesis_tpu.enums import RayleighScatteringMode, WaveUnit
@@ -141,6 +144,9 @@ def bench_scattering(atm, ktab10, laycfg, surf):
     dtype = np.float32
     nwave = int(np.asarray(ktab10.wave).shape[0])
     npro = atm.h.shape[0]
+    laycfg = LayerConfig(nlay=39, laytyp=laycfg_headline.laytyp,
+                         layint=laycfg_headline.layint,
+                         layht=laycfg_headline.layht)
 
     dust = np.exp(
         -0.5 * ((np.linspace(0, 1, npro) - 0.4) / 0.15) ** 2
@@ -296,7 +302,7 @@ def main():
     # adding-doubling holds (nwave, ng, nlay, nmu, nmu) R/T/J stacks live
     # through the scan; 512 waves x 10 g fits the v5e's 16G HBM (2048 OOMs
     # at 32G) — production runs tile the wave axis at this granularity
-    ng_s, nwave_s = 10, 512
+    ng_s, nwave_s = 10, 256
     xs, ws = np.polynomial.legendre.leggauss(ng_s)
     g10, dg10 = 0.5 * (xs + 1), 0.5 * ws
     ktab10 = KTables(
@@ -307,7 +313,13 @@ def main():
         gas_id=gas_ids, iso_id=iso_ids,
     )
     _log("scattering stage")
-    scat_gps, scat_shape = bench_scattering(atm, ktab10, laycfg, surf)
+    # free the headline/LBL device residue before the scattering compile
+    # (the R/T/J stacks need most of HBM)
+    del out
+    atm_s = atm
+    atm = ktab = None
+    jax.clear_caches()
+    scat_gps, scat_shape = bench_scattering(atm_s, ktab10, laycfg, surf)
     _log(f"scattering done: {scat_gps:.0f} gp/s")
 
     print(
