@@ -143,12 +143,25 @@ def make_retrieval_setup(
         SpectraUnit.Normalised_radiance,
         SpectraUnit.Integrated_radiance,
     ):
-        # FluxRatio / TransitDepth / Integrated_spectral_power belong to the
-        # disc-average and transit drivers; Atmospheric_transmission to the
-        # SO driver (reference nemesisdiscfm/nemesisPTfm/nemesisSOfm).
-        raise NotImplementedError(
-            f"IFORM={deck.settings.iform!r} is not a nadir/limb radiance unit"
-        )
+        if iscat == ScatteringCalculationMode.MULTIPLE_SCATTERING and (
+            deck.settings.iform in (
+                SpectraUnit.FluxRatio,
+                SpectraUnit.Integrated_spectral_power,
+            )
+        ):
+            # the reference applies the 4*pi^2*R^2 (/ stellar power) xfac
+            # INSIDE the multiple-scattering spectrum
+            # (calculate_multiple_scattering_spectrum
+            # ForwardModel_0.py:4360-4373); wired below on the calc grid
+            pass
+        else:
+            # TransitDepth belongs to the transit driver;
+            # Atmospheric_transmission to the SO driver (reference
+            # nemesisPTfm/nemesisSOfm)
+            raise NotImplementedError(
+                f"IFORM={deck.settings.iform!r} is not a nadir/limb "
+                "radiance unit"
+            )
     if (deck.settings.iform == SpectraUnit.Normalised_radiance
             and deck.settings.vnorm is None):
         raise ValueError("IFORM=Normalised_radiance requires VNORM "
@@ -283,7 +296,16 @@ def make_retrieval_setup(
                 "model 447 (retrieved Doppler) needs a differentiable "
                 "convolution path: FWHM=0, ILS models 228/229/230, or "
                 "IFORM=Integrated_radiance")
-        geoms.append((ig, vconv, ktw, ils_w))
+        # multi-scattering FluxRatio / Integrated_spectral_power unit
+        # conversion on the calc grid (ForwardModel_0.py:4360-4373)
+        xfac_g = (
+            _iform_xfac(st.iform, deck.atmosphere, deck.stellar,
+                        np.asarray(ktw.wave))
+            if st.iform in (SpectraUnit.FluxRatio,
+                            SpectraUnit.Integrated_spectral_power)
+            else 1.0
+        )
+        geoms.append((ig, vconv, ktw, ils_w, xfac_g))
 
     cfg = make_forward_config(
         deck.atmosphere,
@@ -333,7 +355,7 @@ def make_retrieval_setup(
         )
         v_dop = meas_state["v_doppler"]
         out = []
-        for ig, vconv, ktw, ils_w in geoms:
+        for ig, vconv, ktw, ils_w, xfac_g in geoms:
             nav = geom.nav[ig]
             spec_sum = 0.0
             wsum = 0.0
@@ -413,7 +435,7 @@ def make_retrieval_setup(
             # NOTE: the reference accumulates WGEOM-weighted spectra
             # WITHOUT dividing by the weight total (nemesisfm
             # ForwardModel_0.py:530-535; FOV weights are pre-normalised)
-            spec_avg = spec_sum
+            spec_avg = spec_sum * xfac_g
             if telluric is not None:
                 from archnemesis_tpu.rt.telluric import apply_telluric
 
