@@ -200,11 +200,17 @@ def _inv_combine(m):
     return jnp.linalg.inv(m)
 
 
-def _combine(r1, t1, j1, rsub, tsub, jsub, ic: int, thresh: float,
+def _combine(r1, t1, j1, rsub, tsub, jsub, j_on, thresh: float,
              frob_of_rsq: bool):
     """Combine layer (r1,t1,j1) on top of (rsub,tsub,jsub) (reference add:277
     for homogeneous doubling [thresh=0.1 on frob(r1)] and addp:482 for the
     heterogeneous path sum [thresh=0.01 on frob(rsub@r1)]).
+
+    ``j_on``: 1.0 where the batch element is the ic=0 Fourier component
+    (the only one carrying a thermal/ground source; reference keeps J
+    untouched for ic>0), broadcastable against the (..., nmu, 1) J shape —
+    a scalar when the caller runs a single component, an axis-aligned mask
+    when all Fourier components are batched through one call.
 
     The series branch acom = e + rsq (error < 1e-4 at the thresholds) is kept
     for parity with the reference numerics.
@@ -219,21 +225,22 @@ def _combine(r1, t1, j1, rsub, tsub, jsub, ic: int, thresh: float,
     ccom = t1 @ acom
     rans = r1 + (ccom @ rsub) @ t1
     tans = ccom @ tsub
-    if ic == 0:
-        jans = ccom @ (rsub @ j1 + jsub) + j1
+    if isinstance(j_on, (bool, int, float)):
+        jans = (ccom @ (rsub @ j1 + jsub) + j1) if j_on else j1
     else:
-        jans = j1
+        jans = jnp.where(j_on, ccom @ (rsub @ j1 + jsub) + j1, j1)
     return rans, tans, jans
 
 
 def _double_layer(pplpl, pplmi, omega, taut, bc, cc_diag, mminv_diag,
-                  ic: int, nn_max: int = NN_MAX):
+                  j_on, con_fac, nn_max: int = NN_MAX):
     """Core of double1 with precomputed cc (quadrature weights) and 1/mu
-    diagonals. All leading dims batched."""
+    diagonals. All leading dims batched (including, optionally, the
+    Fourier-component axis: ``con_fac`` = 1+del(0,ic) and ``j_on`` = [ic==0]
+    broadcast against omega)."""
     nmu = cc_diag.shape[0]
     e = jnp.eye(nmu, dtype=pplpl.dtype)
-    del01 = 1.0 if ic == 0 else 0.0
-    con = (omega * np.pi * (1.0 + del01))[..., None, None]
+    con = (omega * np.pi * con_fac)[..., None, None]
 
     # GPLPL = MMINV (E - CON PPLPL CC); GPLMI = MMINV CON PPLMI CC
     gplpl = mminv_diag[:, None] * (e - con * (pplpl * cc_diag[None, :]))
@@ -247,17 +254,14 @@ def _double_layer(pplpl, pplmi, omega, taut, bc, cc_diag, mminv_diag,
 
     t1 = e - tau0 * gplpl
     r1 = tau0 * gplmi
-    if ic == 0:
-        j1 = ((1.0 - omega) * bc)[..., None] * (
-            tau0[..., 0] * mminv_diag
-        )  # (..., nmu)
-        j1 = j1[..., None]  # (..., nmu, 1)
-    else:
-        j1 = jnp.zeros(t1.shape[:-1] + (1,), t1.dtype)
+    j1 = ((1.0 - omega) * bc * j_on)[..., None] * (
+        tau0[..., 0] * mminv_diag
+    )  # (..., nmu)
+    j1 = j1[..., None]  # (..., nmu, 1)
 
     def body(k, carry):
         r, t, j = carry
-        rn, tn, jn = _combine(r, t, j, r, t, j, ic, thresh=0.1,
+        rn, tn, jn = _combine(r, t, j, r, t, j, True, thresh=0.1,
                               frob_of_rsq=False)
         do = (k < nn)[..., None, None]
         return (
@@ -266,12 +270,17 @@ def _double_layer(pplpl, pplmi, omega, taut, bc, cc_diag, mminv_diag,
             jnp.where(do, jn, j),
         )
 
-    r1, t1, j1 = jax.lax.fori_loop(0, nn_max, body, (r1, t1, j1))
+    # dynamic trip count: the ladder only needs the LARGEST per-element
+    # doubling count (log2(max taut)+12), not the static worst case — on a
+    # typical deck that halves the iterations; elements with smaller nn
+    # are frozen by the mask exactly as the reference would have stopped
+    upper = jnp.minimum(jnp.max(nn), nn_max)
+    r1, t1, j1 = jax.lax.fori_loop(0, upper, body, (r1, t1, j1))
     return r1, t1, j1
 
 
 def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
-              cc_diag, mminv_diag, ic: int, nn_max: int = NN_MAX):
+              cc_diag, mminv_diag, j_on, con_fac, nn_max: int = NN_MAX):
     """R/T/J matrices for every layer at once (reference calc_rtj_matrix,
     Multiple_Scattering_Core.py:567-650), batched over leading dims.
 
@@ -294,7 +303,7 @@ def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
     # scattering branch
     rs, ts, js = _double_layer(
         pplpl, pplmi, omega, jnp.maximum(taut, 1e-300), bc, cc_diag,
-        mminv_diag, ic, nn_max
+        mminv_diag, j_on, con_fac, nn_max
     )
 
     # non-scattering branch: diagonal transmission exp(-taut/mu)
@@ -302,10 +311,7 @@ def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
     tdiag = jnp.where(tex > -200.0, jnp.exp(tex), 0.0)
     tn = tdiag[..., None, :] * e  # diag embed
     rn = jnp.zeros_like(tn)
-    if ic == 0:
-        jn = (bc[..., None] * (1.0 - tdiag))[..., None]
-    else:
-        jn = jnp.zeros(tn.shape[:-1] + (1,), tn.dtype)
+    jn = ((bc * j_on)[..., None] * (1.0 - tdiag))[..., None]
 
     # zero-opacity branch: identity transmission
     tz = jnp.broadcast_to(e, tn.shape)
@@ -324,7 +330,7 @@ def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
     return rl, tl, jl
 
 
-def combine_path(rl, tl, jl, ic: int, r0=None, t0=None, j0=None):
+def combine_path(rl, tl, jl, j_on, r0=None, t0=None, j0=None):
     """Scan-combine per-layer R/T/J top-down along the path (reference
     scloud11wave_core layer loop :839-875 with addp).
 
@@ -343,7 +349,7 @@ def combine_path(rl, tl, jl, ic: int, r0=None, t0=None, j0=None):
     def step(carry, x):
         rsub, tsub, jsub = carry
         r1, t1, j1 = x
-        out = _combine(r1, t1, j1, rsub, tsub, jsub, ic, thresh=0.01,
+        out = _combine(r1, t1, j1, rsub, tsub, jsub, j_on, thresh=0.01,
                        frob_of_rsq=True)
         return out, None
 
@@ -486,109 +492,134 @@ def scloud11wave(
         m0 = jnp.broadcast_to(m0, (nwave, nmu, nmu))
         _, fc_ray = hansen_normalise(p0, m0, wt_d)
 
-    for ic in range(quad.nf + 1):
-        # phase matrices per aerosol mode, (nwave?, nmu, nmu): phase_fns may
-        # be wave-dependent (return (nwave, ...) given (...) angle grids)
-        ppln_list, pmin_list = [], []
-        for j, pf in enumerate(phase_fns):
+    # --- ALL Fourier components in ONE batched R/T/J evaluation ---------
+    # The reference loops ic = 0..NF re-running the full doubling ladder
+    # per component (Multiple_Scattering_Core.py:790); here the component
+    # axis is just another leading batch dim (nc, nwave, ng, nlay, ...) so
+    # the NN_MAX doubling iterations and the layer scan run once.
+    nc = quad.nf + 1
+
+    def stacked_phase(build):
+        return jnp.stack([build(ic) for ic in range(nc)], axis=0)
+
+    ppln_list = []
+    pmin_list = []
+    for j, pf in enumerate(phase_fns):
+        def build_pl(ic, pf=pf, j=j):
             pplpl, pplmi = phase_matrices(pf, mu_d, quad.nphi, ic)
             if pplpl.ndim == 2:
                 pplpl = jnp.broadcast_to(pplpl, (nwave, nmu, nmu))
                 pplmi = jnp.broadcast_to(pplmi, (nwave, nmu, nmu))
-            ppln_list.append(pplpl * fc_modes[j])
-            pmin_list.append(pplmi)
-        if ppln_list:
-            ppln = jnp.stack(ppln_list, axis=1)  # (nwave, ncont, nmu, nmu)
-            pmin = jnp.stack(pmin_list, axis=1)
-        else:
-            ppln = jnp.zeros((nwave, 0, nmu, nmu), taus.dtype)
-            pmin = jnp.zeros((nwave, 0, nmu, nmu), taus.dtype)
+            return pplpl * fc_modes[j], pplmi
+        pl = [build_pl(ic) for ic in range(nc)]
+        ppln_list.append(jnp.stack([x[0] for x in pl], axis=0))
+        pmin_list.append(jnp.stack([x[1] for x in pl], axis=0))
+    if ppln_list:
+        ppln = jnp.stack(ppln_list, axis=2)  # (nc, nwave, ncont, nmu, nmu)
+        pmin = jnp.stack(pmin_list, axis=2)
+    else:
+        ppln = jnp.zeros((nc, nwave, 0, nmu, nmu), taus.dtype)
+        pmin = jnp.zeros((nc, nwave, 0, nmu, nmu), taus.dtype)
 
-        if iray:
+    if iray:
+        def build_ray(ic):
             pplr, pmir = rayleigh_phase_matrices(mu_d, quad.nphi, ic)
-            pplr_b = jnp.broadcast_to(pplr, (nwave, nmu, nmu)) * fc_ray
-            pmir_b = jnp.broadcast_to(pmir, (nwave, nmu, nmu))
-        else:
-            pplr_b = jnp.zeros((nwave, nmu, nmu), taus.dtype)
-            pmir_b = jnp.zeros((nwave, nmu, nmu), taus.dtype)
+            return (jnp.broadcast_to(pplr, (nwave, nmu, nmu)) * fc_ray,
+                    jnp.broadcast_to(pmir, (nwave, nmu, nmu)))
+        rl_ = [build_ray(ic) for ic in range(nc)]
+        pplr_b = jnp.stack([x[0] for x in rl_], axis=0)
+        pmir_b = jnp.stack([x[1] for x in rl_], axis=0)
+    else:
+        pplr_b = jnp.zeros((nc, nwave, nmu, nmu), taus.dtype)
+        pmir_b = jnp.zeros((nc, nwave, nmu, nmu), taus.dtype)
 
-        # per-layer RTJ, batched over (nwave, ng, nlay)
-        ppln_b = jnp.broadcast_to(
-            ppln[:, None, None, :, :, :],
-            (nwave, ng, nlay) + ppln.shape[1:],
+    # component masks: the thermal/ground source J lives only in ic=0, and
+    # the phase normalisation factor is (1 + del(0,ic))
+    ic_axis = jnp.arange(nc, dtype=taus.dtype)
+    j_on = (ic_axis == 0).astype(taus.dtype)[:, None, None, None]
+    con_fac = (1.0 + j_on)  # (nc, 1, 1, 1) against (nc, nwave, ng, nlay)
+
+    bshape = (nc, nwave, ng, nlay)
+    ppln_b = jnp.broadcast_to(
+        ppln[:, :, None, None], bshape + ppln.shape[2:]
+    )
+    pmin_b = jnp.broadcast_to(
+        pmin[:, :, None, None], bshape + pmin.shape[2:]
+    )
+    pplr_bb = jnp.broadcast_to(
+        pplr_b[:, :, None, None], bshape + (nmu, nmu)
+    )
+    pmir_bb = jnp.broadcast_to(
+        pmir_b[:, :, None, None], bshape + (nmu, nmu)
+    )
+    rl, tl, jl = layer_rtj(
+        jnp.broadcast_to(taus, bshape),
+        jnp.broadcast_to(tscat_g, bshape),
+        jnp.broadcast_to(tray_g, bshape),
+        jnp.broadcast_to(bnu_g, bshape),
+        jnp.broadcast_to(frac_g[None], bshape + frac_g.shape[-1:]),
+        ppln_b, pmin_b, pplr_bb, pmir_bb,
+        cc_diag, mminv_diag, j_on, con_fac, nn_max,
+    )  # (nc, nwave, ng, nlay, nmu, nmu)
+
+    # combine top-down (lookdown): layer index 0 = top is combined LAST
+    # in the reference (it iterates l=0..nlay-1 with k=l and the
+    # accumulated rsub below); the scan wants first-combined first.
+    rl_s = jnp.moveaxis(rl, 3, 0)  # (nlay, nc, nwave, ng, nmu, nmu)
+    tl_s = jnp.moveaxis(tl, 3, 0)
+    jl_s = jnp.moveaxis(jl, 3, 0)
+
+    j_on_p = j_on[:, :, :, :, None]  # (nc,1,1,1,1) against (...,nmu,1)
+    if brdf_matrix is not None:
+        rs = (
+            2.0 * np.pi * jnp.moveaxis(brdf_matrix, 3, 0)
+            * jnp.asarray(mu_d)[None, None, None, :]
+            * jnp.asarray(wt_d)[None, None, None, :]
+        ) * xfac  # (nc, nwave, nmu, nmu)
+        rs = jnp.broadcast_to(rs[:, :, None], (nc, nwave, ng, nmu, nmu))
+        js = jnp.broadcast_to(
+            radg_d[None, :, None, :, None], (nc, nwave, ng, nmu, 1)
+        ) * j_on_p
+        ts = jnp.zeros_like(rs)
+        rcomb, tcomb, jcomb = combine_path(
+            rl_s, tl_s, jl_s, j_on_p, r0=rs, t0=ts, j0=js
         )
-        pmin_b = jnp.broadcast_to(
-            pmin[:, None, None, :, :, :],
-            (nwave, ng, nlay) + pmin.shape[1:],
-        )
-        pplr_bb = jnp.broadcast_to(
-            pplr_b[:, None, None, :, :], (nwave, ng, nlay, nmu, nmu)
-        )
-        pmir_bb = jnp.broadcast_to(
-            pmir_b[:, None, None, :, :], (nwave, ng, nlay, nmu, nmu)
-        )
-        rl, tl, jl = layer_rtj(
-            taus, tscat_g, tray_g, bnu_g, frac_g,
-            ppln_b, pmin_b, pplr_bb, pmir_bb,
-            cc_diag, mminv_diag, ic, nn_max,
-        )  # (nwave, ng, nlay, nmu, nmu)
+    else:
+        rcomb, tcomb, jcomb = combine_path(rl_s, tl_s, jl_s, j_on_p)
 
-        # combine top-down (lookdown): layer index 0 = top is combined LAST
-        # in the reference (it iterates l=0..nlay-1 with k=l and the
-        # accumulated rsub below); the scan wants first-combined first.
-        rl_s = jnp.moveaxis(rl, 2, 0)  # (nlay, nwave, ng, nmu, nmu)
-        tl_s = jnp.moveaxis(tl, 2, 0)
-        jl_s = jnp.moveaxis(jl, 2, 0)
+    jcomb = jcomb * j_on_p
 
-        if brdf_matrix is not None:
-            rs = (
-                2.0 * np.pi * brdf_matrix[:, :, :, ic]
-                * jnp.asarray(mu_d)[None, None, :]
-                * jnp.asarray(wt_d)[None, None, :]
-            ) * xfac
-            rs = jnp.broadcast_to(rs[:, None], (nwave, ng, nmu, nmu))
-            js = jnp.broadcast_to(
-                radg_d[:, None, :, None], (nwave, ng, nmu, 1)
-            )
-            if ic != 0:
-                js = jnp.zeros_like(js)
-            ts = jnp.zeros_like(rs)
-            rcomb, tcomb, jcomb = combine_path(
-                rl_s, tl_s, jl_s, ic, r0=rs, t0=ts, j0=js
-            )
-        else:
-            rcomb, tcomb, jcomb = combine_path(rl_s, tl_s, jl_s, ic)
+    # path extraction (reference :886-958), lookdown
+    utmi = radg_d[None] * j_on[..., 0]  # (nc, nwave, nmu)
+    base = (
+        jnp.einsum("cwgij,cwj->cwgi", tcomb, utmi) + jcomb[..., 0]
+    )  # (nc, nwave, ng, nmu)
 
-        if ic != 0:
-            jcomb = jnp.zeros_like(jcomb)
+    cosfac = jnp.cos(
+        ic_axis[:, None] * jnp.deg2rad(azi_ang)[None, :]
+    ) * jnp.where(ic_axis[:, None] > 0, 2.0, 1.0)  # (nc, npath)
 
-        # path extraction (reference :886-958), lookdown
-        utmi = radg_d if ic == 0 else jnp.zeros_like(radg_d)  # (nwave, nmu)
-        base = (
-            jnp.einsum("wgij,wj->wgi", tcomb, utmi) + jcomb[..., 0]
-        )  # (nwave, ng, nmu)
+    def path_rad(ip):
+        s = sol_on[ip] * solar / (2.0 * np.pi)  # (nwave,)
+        i0 = isol[ip]
+        ie = iemm[ip]
+        yx = []
+        for d0 in (0, 1):
+            col = jnp.take(rcomb, i0 + d0, axis=4)  # (nc, nwave, ng, nmu)
+            umi = base + col * (s / jnp.asarray(wt_d)[i0 + d0])[:, None, None]
+            for de in (0, 1):
+                yx.append(jnp.take(umi, ie + de, axis=3))
+        tt, uu = t[ip], u[ip]
+        drad = (
+            (1 - tt) * (1 - uu) * yx[0]
+            + tt * (1 - uu) * yx[1]
+            + (1 - tt) * uu * yx[2]
+            + tt * uu * yx[3]
+        )  # (nc, nwave, ng)
+        return jnp.einsum("cwg,c->wg", drad, cosfac[:, ip])
 
-        def path_rad(ip):
-            s = sol_on[ip] * solar / (2.0 * np.pi)  # (nwave,)
-            i0 = isol[ip]
-            ie = iemm[ip]
-            yx = []
-            for d0 in (0, 1):
-                col = jnp.take(rcomb, i0 + d0, axis=3)  # (nwave, ng, nmu)
-                umi = base + col * (s / jnp.asarray(wt_d)[i0 + d0])[:, None, None]
-                for de in (0, 1):
-                    yx.append(jnp.take(umi, ie + de, axis=2))
-            tt, uu = t[ip], u[ip]
-            drad = (
-                (1 - tt) * (1 - uu) * yx[0]
-                + tt * (1 - uu) * yx[1]
-                + (1 - tt) * uu * yx[2]
-                + tt * uu * yx[3]
-            ) * jnp.cos(ic * jnp.deg2rad(azi_ang[ip]))
-            return drad * (2.0 if ic > 0 else 1.0)
-
-        rad = rad + jnp.stack(
-            [path_rad(ip) for ip in range(npath)], axis=-1
-        )
+    rad = rad + jnp.stack(
+        [path_rad(ip) for ip in range(npath)], axis=-1
+    )
 
     return rad
