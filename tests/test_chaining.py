@@ -76,6 +76,7 @@ def test_lin2_substitutes_apriori(chained_deck):
     np.testing.assert_allclose(res2.xn, res0.xn, rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_lin1_inflates_se_and_bakes_atmosphere(chained_deck):
     """LIN=1: the previous posterior folds through K_prev into SE
     (chisq drops vs an unchained run at the same state) and the base
@@ -144,6 +145,7 @@ def test_lin3_substitutes_and_bakes(chained_deck):
     np.testing.assert_allclose(res3.chisq, chisq, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_lin1_unmatched_variable_bakes_into_yn(tmp_path):
     """LIN=1 with a .pre variable that is NOT in the current .apr: the
     previous model is reconstructed from its (varident, varparam) bookmark

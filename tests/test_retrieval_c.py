@@ -32,6 +32,7 @@ def test_matches_nadir_driver(setup_c):
     np.testing.assert_allclose(y_c, y_n, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_jacobian_probes_through_c_driver(setup_c):
     """Differentiability smoke via JVP probes at a few state-vector levels
     (see test_retrieval_disc; the full Jacobian is oracle-verified on the

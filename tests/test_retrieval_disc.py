@@ -39,6 +39,7 @@ def test_disc_forward_matches_reference(setup):
     )
 
 
+@pytest.mark.slow
 def test_disc_jacobian_probes(setup):
     """Differentiability smoke via JVP probes at a few state-vector levels
     (full jacfwd over the 80-level state costs ~10 min on CPU; the full

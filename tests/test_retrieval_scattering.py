@@ -27,6 +27,7 @@ def test_forward_finite_and_shaped(setup):
     assert np.all(y0 > 0.0)  # solar-reflected radiance
 
 
+@pytest.mark.slow
 def test_jacfwd_through_scattering(setup):
     kk = np.asarray(
         jax.jacfwd(setup.forward_fn)(jnp.asarray(setup.sv.xa))

@@ -43,6 +43,7 @@ def test_ktable_deck_forward_sharded_matches():
     np.testing.assert_allclose(y1, y0, rtol=1e-12, atol=np.abs(y0).max() * 1e-14)
 
 
+@pytest.mark.slow
 def test_ktable_deck_jacobian_sharded_matches():
     from archnemesis_tpu.retrievals import make_retrieval_setup
 
@@ -109,6 +110,7 @@ def test_runtime_lbl_forward_sharded_matches():
     )
 
 
+@pytest.mark.slow
 def test_sharded_lbl_cross_section_unit():
     """Direct kernel-level parity: sharded_lbl_cross_section vs the plain
     panel kernel for one gas, including the shard-boundary halo (lines whose
