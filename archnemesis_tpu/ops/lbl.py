@@ -156,6 +156,8 @@ def lbl_cross_section(
     include_pressure_shift: bool = True,
     factor: float | None = None,
     use_pallas: bool | None = None,
+    nu_lo=None,
+    wn_lo=None,
 ) -> jnp.ndarray:
     """Absorption cross-section k(NWAVE, NLAY) [cm^2 molecule^-1].
 
@@ -164,6 +166,12 @@ def lbl_cross_section(
     Dispatches to the Pallas TPU kernel (ops/lbl_pallas.py) on TPU backends;
     the XLA panel implementation below is the portable path and the tangent
     rule for the kernel's custom JVP.
+
+    ``nu_lo`` / ``wn_lo``: explicit f32 lo parts of the line centres and
+    wave grid for the two-float delta when the hi parts arrive already
+    cast to f32 (the sharded path, where per-shard slices are device_put
+    before shard_map); derived automatically from f64 host arrays
+    otherwise.
     """
     if use_pallas is None:
         use_pallas = _pallas_default()
@@ -195,20 +203,29 @@ def lbl_cross_section(
     # a factor 2 whenever delta is small), lo parts restore the f64 ulps.
     compute_dtype = jnp.result_type(jnp.asarray(t_calc).dtype, jnp.float32)
     nu_arr, wn_arr = ll.nu, blocks.wn_pad
-    twofloat = (compute_dtype == jnp.float32
-                and isinstance(nu_arr, np.ndarray)
-                and nu_arr.dtype == np.float64)
-    if twofloat:
-        nu_hi = nu_arr.astype(np.float32)
-        nu_lo = jnp.asarray((nu_arr - nu_hi).astype(np.float32))
-        wn_hi = np.asarray(wn_arr).astype(np.float32)
-        wn_lo = jnp.asarray(
-            (np.asarray(wn_arr) - wn_hi).astype(np.float32)
-        ).reshape(blocks.n_blocks, blocks.block_width)
-        nu_hi = jnp.asarray(nu_hi)
+    if nu_lo is not None and compute_dtype == jnp.float32:
+        # pre-split hi/lo pairs supplied by the caller (sharded path)
+        twofloat = True
+        nu_hi = jnp.asarray(nu_arr)
+        nu_lo = jnp.asarray(nu_lo)
+        wn_lo = jnp.asarray(wn_lo).reshape(
+            blocks.n_blocks, blocks.block_width)
+        wn_hi = wn_arr
     else:
-        nu_hi, wn_hi = jnp.asarray(nu_arr), wn_arr
-        nu_lo = wn_lo = None
+        twofloat = (compute_dtype == jnp.float32
+                    and isinstance(nu_arr, np.ndarray)
+                    and nu_arr.dtype == np.float64)
+        if twofloat:
+            nu_hi = nu_arr.astype(np.float32)
+            nu_lo = jnp.asarray((nu_arr - nu_hi).astype(np.float32))
+            wn_hi = np.asarray(wn_arr).astype(np.float32)
+            wn_lo = jnp.asarray(
+                (np.asarray(wn_arr) - wn_hi).astype(np.float32)
+            ).reshape(blocks.n_blocks, blocks.block_width)
+            nu_hi = jnp.asarray(nu_hi)
+        else:
+            nu_hi, wn_hi = jnp.asarray(nu_arr), wn_arr
+            nu_lo = wn_lo = None
     wn = jnp.asarray(wn_hi).reshape(blocks.n_blocks, blocks.block_width)
 
     def per_layer(s_l, a_l, g_l, sh_l):

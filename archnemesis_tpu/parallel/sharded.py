@@ -49,8 +49,10 @@ class ShardedLblData:
     line_idx: Any
     line_mask: Any
     wn: Any  # (S, Bs * W) padded wave grid
+    wn_lo: Any  # (S, Bs * W) f32 lo parts (two-float delta, ops/lbl.py)
     # (S, Lmax) halo'd line-parameter slices
     nu: Any
+    nu_lo: Any  # (S, Lmax) f32 lo parts of the line centres
     sw: Any
     elower: Any
     stim_ref: Any
@@ -104,14 +106,25 @@ def shard_lbl_blocks(ll, blocks, n_shards: int) -> ShardedLblData:
         rel_mask[s] = rows_m
 
     del nlines
+    nu_sl = slice_pad(ll.nu, 1.0)
+    # f32 lo parts for the two-float wavenumber delta (ops/lbl.py): the hi
+    # parts are what device_put produces when the run is f32; in f64 runs
+    # the los are simply unused
+    nu_lo = (np.asarray(nu_sl, np.float64)
+             - np.asarray(nu_sl, np.float64).astype(np.float32)
+             ).astype(np.float32)
+    wn_row = wn.reshape(n_shards, bs * w)
+    wn_lo = (np.asarray(wn_row, np.float64)
+             - np.asarray(wn_row, np.float64).astype(np.float32)
+             ).astype(np.float32)
     return ShardedLblData(
         n_shards=n_shards, blocks_per_shard=bs, block_width=w,
         max_lines_per_block=m, n_wave=blocks.n_wave,
         line_idx=rel_idx, line_mask=rel_mask,
-        wn=wn.reshape(n_shards, bs * w),
+        wn=wn_row, wn_lo=wn_lo,
         # pad values keep the physics kernels finite: nu=1 (alpha_d > 0),
         # stim_ref=1; sw=0 and mask=0 already zero the contribution
-        nu=slice_pad(ll.nu, 1.0), sw=slice_pad(ll.sw, 0.0),
+        nu=nu_sl, nu_lo=nu_lo, sw=slice_pad(ll.sw, 0.0),
         elower=slice_pad(ll.elower, 0.0),
         stim_ref=slice_pad(ll.stim_ref, 1.0), broad=broad,
     )
@@ -122,7 +135,8 @@ def _place(sh: ShardedLblData, mesh: Mesh) -> ShardedLblData:
     put = lambda a: jax.device_put(jnp.asarray(a), spec)  # noqa: E731
     return dataclasses.replace(
         sh, line_idx=put(sh.line_idx), line_mask=put(sh.line_mask),
-        wn=put(sh.wn), nu=put(sh.nu), sw=put(sh.sw),
+        wn=put(sh.wn), wn_lo=put(sh.wn_lo), nu=put(sh.nu),
+        nu_lo=put(sh.nu_lo), sw=put(sh.sw),
         elower=put(sh.elower), stim_ref=put(sh.stim_ref),
         broad=put(sh.broad),
     )
@@ -147,18 +161,28 @@ def sharded_lbl_cross_section(
     include_pressure_shift: bool = True, factor=None,
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
-    """k(NWAVE, NLAY): the XLA/Pallas panel kernel of ops.lbl run per wave
-    shard under shard_map — each device sees only its own line slice and
-    wave blocks (its halo), so no collective is needed."""
+    """k(NWAVE, NLAY): the XLA panel kernel of ops.lbl run per wave shard
+    under shard_map — each device sees only its own line slice and wave
+    blocks (its halo), so no collective is needed.
+
+    The Pallas kernel is not dispatched inside the shard body: its static
+    line-column packing (ops/lbl_pallas._pad_line_columns) needs host
+    arrays, but shard_map hands the body traced per-shard slices. A
+    per-shard Pallas launch would take the host-side packing per shard at
+    partition time — left for a real multi-chip deployment."""
     from jax import shard_map
 
     from archnemesis_tpu.ops.lbl import LblBlocks, lbl_cross_section
+
+    if use_pallas is None:
+        use_pallas = False
 
     t_calc = jnp.asarray(t_calc)
     p_calc = jnp.asarray(p_calc)
     amb_frac = jnp.asarray(amb_frac)
 
-    def body(idx_s, mask_s, wn_s, nu_s, sw_s, el_s, st_s, br_s, t, p, fr):
+    def body(idx_s, mask_s, wn_s, wnlo_s, nu_s, nulo_s, sw_s, el_s, st_s,
+             br_s, t, p, fr):
         ll_s = dataclasses.replace(
             ll, nu=nu_s[0], sw=sw_s[0], elower=el_s[0],
             stim_ref=st_s[0], broad=br_s[0],
@@ -174,7 +198,7 @@ def sharded_lbl_cross_section(
             wn_calc_window=wn_calc_window,
             wn_approx_window=wn_approx_window,
             include_pressure_shift=include_pressure_shift, factor=factor,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, nu_lo=nulo_s[0], wn_lo=wnlo_s[0],
         )  # (Bs*W, NLAY)
         return k[None]
 
@@ -182,11 +206,11 @@ def sharded_lbl_cross_section(
     r = P()
     out = shard_map(
         body, mesh=mesh,
-        in_specs=(w, w, w, w, w, w, w, w, r, r, r),
+        in_specs=(w, w, w, w, w, w, w, w, w, w, r, r, r),
         out_specs=w,
         check_vma=False,
-    )(sh.line_idx, sh.line_mask, sh.wn, sh.nu, sh.sw, sh.elower,
-      sh.stim_ref, sh.broad, t_calc, p_calc, amb_frac)
+    )(sh.line_idx, sh.line_mask, sh.wn, sh.wn_lo, sh.nu, sh.nu_lo, sh.sw,
+      sh.elower, sh.stim_ref, sh.broad, t_calc, p_calc, amb_frac)
     # (S, Bs*W, NLAY) -> (S*Bs*W, NLAY), trimmed to the true grid
     k = out.reshape(-1, out.shape[-1])
     return k[: sh.n_wave]
