@@ -21,6 +21,19 @@ _REFERENCE_DIR = "/root/reference"
 
 
 def import_reference():
+    if not os.path.isdir(_REFERENCE_DIR):
+        # the framework itself is self-contained; only live-oracle
+        # comparisons and golden generators need the reference mount
+        try:
+            import pytest  # noqa: PLC0415
+
+            pytest.skip("reference mount not present (live-oracle test)")
+        except ImportError:
+            pass
+        raise FileNotFoundError(
+            f"reference mount {_REFERENCE_DIR} not present; live-oracle "
+            "comparison/golden generation requires it"
+        )
     if _STUB_DIR not in sys.path:
         sys.path.insert(0, _STUB_DIR)
     if _REFERENCE_DIR not in sys.path:
