@@ -171,6 +171,10 @@ def _ktable_chunk(ll_win, press_atm, temp, wave, ng, amb_frac, lineshape,
         hwhm = 0.5346 * gam + np.sqrt(0.2166 * gam**2 + alpha_d**2)
         delv_calc = min(delv_calc, float(np.min(hwhm)) / 5.0)
     ncalc = min(int((vmax - vmin) / delv_calc), fine_points_cap)
+    # empty-bin guard: fine_points_cap truncation (or a min-HWHM/5 coarser
+    # than delwave on sparse high-pressure decks) can otherwise leave a
+    # conv bin with <1 fine point, breaking g_sorted[-1]/wavecalc[1]
+    ncalc = max(ncalc, 2 * len(wave) + 2)
     wavecalc = np.linspace(vmin, vmax, ncalc)
     dfine = wavecalc[1] - wavecalc[0]
 
@@ -187,13 +191,30 @@ def _ktable_chunk(ll_win, press_atm, temp, wave, ng, amb_frac, lineshape,
     for iw, wc in enumerate(wave):
         lo = np.searchsorted(wavecalc, wc - delwave / 2.0, side="left")
         hi = np.searchsorted(wavecalc, wc + delwave / 2.0, side="right")
+        if hi - lo < 1:
+            raise ValueError(
+                f"k-table bin {iw} ({wc:.6g} cm-1, chunk "
+                f"[{vmin:.6g},{vmax:.6g}]) contains no fine-grid points; "
+                "raise fine_points_cap"
+            )
         ksel = np.sort(kabs[lo:hi], axis=0)  # (NBIN, NP*NT)
+        if hi - lo == 1:
+            k_g[iw] = np.broadcast_to(
+                ksel[0], (ng,) + ksel.shape[1:]
+            ).reshape(ng, npress, ntemp)
+            continue
         g_sorted = np.cumsum(np.full(hi - lo, dfine))
         g_sorted /= g_sorted[-1]
-        for j in range(pcol.size):
-            k_g[iw, :, j // ntemp, j % ntemp] = np.interp(
-                g_ord, g_sorted, ksel[:, j]
-            )
+        # vectorised np.interp over all (P,T) columns at once: the g knots
+        # are shared, so one searchsorted + lerp replaces the per-column
+        # host loop (the rebin was the host-side hot spot at production
+        # bin x (P,T) counts)
+        idx = np.clip(np.searchsorted(g_sorted, g_ord), 1,
+                      g_sorted.size - 1)
+        x0, x1 = g_sorted[idx - 1], g_sorted[idx]
+        w = np.clip((g_ord - x0) / (x1 - x0), 0.0, 1.0)[:, None]
+        interp = (1.0 - w) * ksel[idx - 1] + w * ksel[idx]  # (ng, NP*NT)
+        k_g[iw] = interp.reshape(ng, npress, ntemp)
     return k_g
 
 

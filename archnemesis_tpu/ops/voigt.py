@@ -36,11 +36,12 @@ A24 = np.array([
 
 
 def _cpf_continued_fraction(z_r, z_i):
-    """4-convergent Laplace continued fraction of w(z) for large |z|:
+    """6-convergent Laplace continued fraction of w(z) for large |z|:
 
-        w(z) = (i/sqrt(pi)) / (z - 1/2/(z - 1/(z - 3/2/(z - 2/z))))
+        w(z) = (i/sqrt(pi)) / (z - 1/2/(z - 1/(z - 3/2/(z - 2/(z - 5/2/(z - 3/z))))))
 
-    Relative accuracy better than ~1e-7 for |z|^2 >= 256 (far line wings),
+    Relative accuracy better than ~3e-7 for |z| >= 7 (far line wings;
+    the switch threshold is _ASYM_R2 = 49 on |z|^2),
     where the Weideman rational expansion catastrophically cancels in
     float32 (its O(1) Horner terms vs a ~y/|z|^2 result).  Real-pair
     arithmetic so it lowers inside the Pallas TPU kernel (no complex64).

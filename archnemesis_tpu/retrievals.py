@@ -149,10 +149,13 @@ def make_retrieval_setup(
                 SpectraUnit.Integrated_spectral_power,
             )
         ):
-            # the reference applies the 4*pi^2*R^2 (/ stellar power) xfac
-            # INSIDE the multiple-scattering spectrum
-            # (calculate_multiple_scattering_spectrum
-            # ForwardModel_0.py:4360-4373); wired below on the calc grid
+            # DELIBERATE DEVIATION (PARITY.md): the reference's
+            # calculate_multiple_scattering_spectrum computes the
+            # 4*pi^2*R^2 (/ stellar power) xfac but never multiplies
+            # SPECOUT by it (dead code, ForwardModel_0.py:4360-4373 —
+            # unlike the thermal/disc drivers at :4244/:4333).  We apply
+            # the physically intended scaling below on the calc grid, so
+            # a live-oracle A/B on this IFORM will differ by xfac.
             pass
         else:
             # TransitDepth belongs to the transit driver;

@@ -233,7 +233,8 @@ def _combine(r1, t1, j1, rsub, tsub, jsub, j_on, thresh: float,
 
 
 def _double_layer(pplpl, pplmi, omega, taut, bc, cc_diag, mminv_diag,
-                  j_on, con_fac, nn_max: int = NN_MAX):
+                  j_on, con_fac, nn_max: int = NN_MAX,
+                  static_trip_count: bool = False):
     """Core of double1 with precomputed cc (quadrature weights) and 1/mu
     diagonals. All leading dims batched (including, optionally, the
     Fourier-component axis: ``con_fac`` = 1+del(0,ic) and ``j_on`` = [ic==0]
@@ -273,19 +274,30 @@ def _double_layer(pplpl, pplmi, omega, taut, bc, cc_diag, mminv_diag,
     # dynamic trip count: the ladder only needs the LARGEST per-element
     # doubling count (log2(max taut)+12), not the static worst case — on a
     # typical deck that halves the iterations; elements with smaller nn
-    # are frozen by the mask exactly as the reference would have stopped
-    upper = jnp.minimum(jnp.max(nn), nn_max)
+    # are frozen by the mask exactly as the reference would have stopped.
+    # NOTE: the traced bound lowers fori_loop to while_loop, which is
+    # forward-mode-only (jacfwd/JVP — what the retrieval engine uses);
+    # grad/jacrev callers must pass static_trip_count=True.
+    if static_trip_count:
+        upper = nn_max
+    else:
+        upper = jnp.minimum(jnp.max(nn), nn_max)
     r1, t1, j1 = jax.lax.fori_loop(0, upper, body, (r1, t1, j1))
     return r1, t1, j1
 
 
 def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
-              cc_diag, mminv_diag, j_on, con_fac, nn_max: int = NN_MAX):
+              cc_diag, mminv_diag, j_on, con_fac, nn_max: int = NN_MAX,
+              static_trip_count: bool = False):
     """R/T/J matrices for every layer at once (reference calc_rtj_matrix,
     Multiple_Scattering_Core.py:567-650), batched over leading dims.
 
     taut/tauscat/tauray/bc: (...,); frac: (..., ncont);
     ppln/pmin: (..., ncont, nmu, nmu); pplr/pmir: (..., nmu, nmu).
+
+    ``static_trip_count=True`` runs the doubling ladder for the static
+    worst-case ``nn_max`` trips so reverse-mode AD (grad/jacrev) works;
+    the default traced bound is forward-mode-only (jacfwd/JVP).
     """
     nmu = cc_diag.shape[0]
     e = jnp.eye(nmu, dtype=pplr.dtype)
@@ -303,7 +315,7 @@ def layer_rtj(taut, tauscat, tauray, bc, frac, ppln, pmin, pplr, pmir,
     # scattering branch
     rs, ts, js = _double_layer(
         pplpl, pplmi, omega, jnp.maximum(taut, 1e-300), bc, cc_diag,
-        mminv_diag, j_on, con_fac, nn_max
+        mminv_diag, j_on, con_fac, nn_max, static_trip_count
     )
 
     # non-scattering branch: diagonal transmission exp(-taut/mu)
