@@ -75,6 +75,13 @@ class ForwardConfig:
     ico2: int = -1
     in2: int = -1
     ih2: int = -1
+    # multiple-scattering wave-tile size: the adding-doubling core keeps
+    # (nc, nwave, ng, nlay, nmu, nmu) R/T/J stacks live, so production
+    # grids are lax.map'ed over tiles of this many waves (live HBM is
+    # bounded by the tile; the reference's analog is its per-wave Python
+    # loop, Multiple_Scattering_Core.py:790).  Grids <= the tile run
+    # untiled.
+    scat_wave_tile: int = 256
 
     @property
     def del_g_np(self):
@@ -803,7 +810,7 @@ def forward_scattering_nadir(
     from archnemesis_tpu.rt.scattering import (
         brdf_fourier_matrix,
         henyey_greenstein2,
-        scloud11wave,
+        scloud11wave_tiled,
     )
     from archnemesis_tpu.rt.surface import surface_brdf_fn
 
@@ -853,7 +860,7 @@ def forward_scattering_nadir(
     )
     lfrac = jnp.transpose(lfrac, (0, 2, 1))  # (NWAVE, NCONT, NLAY)
 
-    rad = scloud11wave(
+    rad = scloud11wave_tiled(
         quad, phase_fns,
         radg=radg,
         brdf_matrix=brdf_matrix,
@@ -867,6 +874,7 @@ def forward_scattering_nadir(
         tauscat=tauscat,
         lfrac=lfrac,
         iray=iray_phase,
+        wave_tile=cfg.scat_wave_tile,
     )  # (NWAVE, NG, NPATH)
     spec = jnp.einsum("wgp,g->wp", rad, jnp.asarray(ktab.del_g))
     if return_diagnostics:

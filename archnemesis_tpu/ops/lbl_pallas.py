@@ -171,33 +171,26 @@ def _lbl_kernel(
 
 
 def _lbl_pallas_impl(
-    blocks: LblBlocks,
+    nb: int,  # number of wave blocks
+    w: int,  # block width
+    n_wave: int,  # true grid length (<= nb*w)
     n_pad: int,
     chunk0,  # (NB,) int32 scalar-prefetch
     nch,  # (NB,) int32 scalar-prefetch
     mc,  # grid extent of the line-chunk axis
+    wn1r,  # (1, NB*W) wave row, hi part
+    wn1r_lo,  # (1, NB*W) f32 lo part (zeros in f64)
     cols_stacked,  # 10 x (N_pad, 1) line-parameter columns (stored once)
     scal,  # (NLAY, 8)
     *,
     t_ref_const, p_ref_const, mass, s_floor, wn_calc, wn_approx, lineshape,
     dtype, interpret,
 ):
-    nlay = scal.shape[0]
-    nb = blocks.n_blocks
-    w = blocks.block_width
-
     # TPU lowering requires the last-two block dims be (divisible by 8,
     # divisible by 128) or equal to the array dims — single-row layouts
     # (1, NB*W) with (1, W) blocks satisfy the "equal" clause on the
     # sublane axis while keeping 128-lane alignment on the wave axis.
-    wn64 = np.asarray(blocks.wn_pad, dtype=np.float64)
-    wn1r = jnp.asarray(wn64, dtype).reshape(1, nb * w)
-    if dtype == jnp.float32:
-        wn1r_lo = jnp.asarray(
-            (wn64 - wn64.astype(np.float32)).astype(np.float32)
-        ).reshape(1, nb * w)
-    else:
-        wn1r_lo = jnp.zeros((1, nb * w), dtype)
+    nlay = scal.shape[0]
     max_chunk = n_pad // M_CHUNK - 1
 
     def line_index(l, b, m, chunk0_ref, nch_ref, scal_ref):
@@ -226,10 +219,10 @@ def _lbl_pallas_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, nlay * nb * w), dtype),
         interpret=interpret,
-    )(jnp.asarray(chunk0), jnp.asarray(nch), scal.astype(dtype), wn1r,
-      wn1r_lo, *line_cols)
+    )(jnp.asarray(chunk0), jnp.asarray(nch), scal.astype(dtype),
+      wn1r.astype(dtype), wn1r_lo.astype(dtype), *line_cols)
     out = out.reshape(nlay, nb * w)
-    return out[:, : blocks.n_wave].T  # (NWAVE, NLAY)
+    return out[:, :n_wave].T  # (NWAVE, NLAY)
 
 
 def lbl_cross_section_pallas(
@@ -267,6 +260,16 @@ def lbl_cross_section_pallas(
     t_calc = jnp.asarray(t_calc)
     dtype = jnp.result_type(t_calc.dtype, jnp.float32)
 
+    nb, w = blocks.n_blocks, blocks.block_width
+    wn64 = np.asarray(blocks.wn_pad, dtype=np.float64)
+    wn1r = jnp.asarray(wn64, dtype).reshape(1, nb * w)
+    if dtype == jnp.float32:
+        wn1r_lo = jnp.asarray(
+            (wn64 - wn64.astype(np.float32)).astype(np.float32)
+        ).reshape(1, nb * w)
+    else:
+        wn1r_lo = jnp.zeros((1, nb * w), dtype)
+
     @jax.custom_jvp
     def run(t, p, amb):
         q_t = jnp.interp(t, jnp.asarray(ll.pf_temp), jnp.asarray(ll.pf_q))
@@ -278,7 +281,8 @@ def lbl_cross_section_pallas(
             [t, p, amb, q_ratio] + [jnp.zeros_like(t)] * 4, axis=1
         )
         return _lbl_pallas_impl(
-            blocks, n_pad, chunk0, nch, mc, cols_tuple, scal,
+            nb, w, blocks.n_wave, n_pad, chunk0, nch, mc, wn1r, wn1r_lo,
+            cols_tuple, scal,
             t_ref_const=float(ll.t_ref), p_ref_const=float(ll.p_ref),
             mass=float(ll.mass), s_floor=s_floor, wn_calc=wn_calc_window,
             wn_approx=wn_approx_window, lineshape=lineshape,
@@ -296,6 +300,86 @@ def lbl_cross_section_pallas(
                 wn_approx_window=wn_approx_window,
                 include_pressure_shift=include_pressure_shift, factor=factor,
                 use_pallas=False,
+            )
+
+        primal_out = run(*primals)
+        _, tangent_out = jax.jvp(xla, primals, tangents)
+        return primal_out, tangent_out
+
+    return run(t_calc, jnp.asarray(p_calc), jnp.asarray(amb_frac))
+
+
+def lbl_cross_section_pallas_packed(
+    ll_shard,
+    blocks_shard: LblBlocks,
+    n_pad: int,
+    mc: int,
+    chunk0,  # (NB,) int32 — may be traced (per-shard slice)
+    nch,  # (NB,) int32
+    wn1r,  # (1, NB*W) hi part
+    wn1r_lo,  # (1, NB*W) f32 lo part
+    cols_tuple,  # 10 traced (N_pad, 1) columns, f64 host-packed per shard
+    t_calc, p_calc, amb_frac,
+    *,
+    lineshape: str = "voigt",
+    s_floor: float = 0.0,
+    wn_calc_window: float = 25.0,
+    wn_approx_window: float = 75.0,
+    include_pressure_shift: bool = True,
+    factor: float = 1.0,
+    interpret: bool = False,
+):
+    """Pallas LBL synthesis from PRE-PACKED per-shard line columns.
+
+    This is the shard_map-compatible twin of
+    :func:`lbl_cross_section_pallas`: the host-side packing
+    (`_pad_line_columns` / `_block_chunk_ranges`) is hoisted to partition
+    time (parallel/sharded.shard_lbl_blocks), so every argument here may
+    be a traced per-shard slice.  ``ll_shard``/``blocks_shard`` are the
+    shard-local LineList/LblBlocks used ONLY by the XLA tangent fallback
+    of the custom JVP (their array fields may be traced).
+
+    The iso-abundance ``factor`` must already be folded into the packed
+    sw column AND passed here for the tangent path.
+    """
+    t_calc = jnp.asarray(t_calc)
+    dtype = jnp.result_type(t_calc.dtype, jnp.float32)
+    nb, w = blocks_shard.n_blocks, blocks_shard.block_width
+
+    @jax.custom_jvp
+    def run(t, p, amb):
+        q_t = jnp.interp(
+            t, jnp.asarray(ll_shard.pf_temp), jnp.asarray(ll_shard.pf_q)
+        )
+        q_ratio = jnp.interp(
+            jnp.asarray(ll_shard.t_ref), jnp.asarray(ll_shard.pf_temp),
+            jnp.asarray(ll_shard.pf_q),
+        ) / q_t
+        scal = jnp.stack(
+            [t, p, amb, q_ratio] + [jnp.zeros_like(t)] * 4, axis=1
+        )
+        lo = wn1r_lo if dtype == jnp.float32 else jnp.zeros_like(wn1r)
+        return _lbl_pallas_impl(
+            nb, w, blocks_shard.n_wave, n_pad, chunk0, nch, mc,
+            wn1r, lo, cols_tuple, scal,
+            t_ref_const=float(ll_shard.t_ref),
+            p_ref_const=float(ll_shard.p_ref),
+            mass=float(ll_shard.mass), s_floor=s_floor,
+            wn_calc=wn_calc_window, wn_approx=wn_approx_window,
+            lineshape=lineshape, dtype=dtype, interpret=interpret,
+        )
+
+    @run.defjvp
+    def run_jvp(primals, tangents):
+        from archnemesis_tpu.ops.lbl import lbl_cross_section
+
+        def xla(t, p, amb):
+            return lbl_cross_section(
+                ll_shard, blocks_shard, t, p, amb, lineshape=lineshape,
+                s_floor=s_floor, wn_calc_window=wn_calc_window,
+                wn_approx_window=wn_approx_window,
+                include_pressure_shift=include_pressure_shift,
+                factor=factor, use_pallas=False,
             )
 
         primal_out = run(*primals)

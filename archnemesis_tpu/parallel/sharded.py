@@ -58,10 +58,25 @@ class ShardedLblData:
     stim_ref: Any
     broad: Any  # (S, 6, Lmax)
 
+    # Pallas-kernel packing, hoisted to partition time so the kernel can
+    # launch inside the shard_map body (the packing is static per shard):
+    # (S, 10, Npad) line columns in ops/lbl_pallas._pad_line_columns order,
+    # per-shard chunk ranges, and the static pad/chunk extents.
+    p_cols: Any = None  # (S, 10, Npad) float64
+    p_chunk0: Any = None  # (S, Bs) int32
+    p_nch: Any = None  # (S, Bs) int32
+    p_n_pad: int = 0
+    p_mc: int = 0
 
-def shard_lbl_blocks(ll, blocks, n_shards: int) -> ShardedLblData:
+
+def shard_lbl_blocks(ll, blocks, n_shards: int,
+                     include_pressure_shift: bool = True) -> ShardedLblData:
     """Host-side partitioner: contiguous block groups + halo'd line slices
-    (lines referenced by each group's gathers), padded to uniform shapes."""
+    (lines referenced by each group's gathers), padded to uniform shapes.
+
+    Also performs the Pallas kernel's line-column packing per shard
+    (ops/lbl_pallas._pad_line_columns + _block_chunk_ranges) — static per
+    shard, so hoisting it here lets the kernel launch inside shard_map."""
     b, w, m = blocks.n_blocks, blocks.block_width, blocks.max_lines_per_block
     bs = -(-b // n_shards)
     bp = bs * n_shards
@@ -117,6 +132,40 @@ def shard_lbl_blocks(ll, blocks, n_shards: int) -> ShardedLblData:
     wn_lo = (np.asarray(wn_row, np.float64)
              - np.asarray(wn_row, np.float64).astype(np.float32)
              ).astype(np.float32)
+
+    # --- Pallas packing (per shard, static) ------------------------------
+    from archnemesis_tpu.ops.lbl_pallas import M_CHUNK
+
+    factor = 1.0 if ll.iso_id != 0 else float(ll.abundance)
+    n_pad = max(-(-lmax // M_CHUNK) * M_CHUNK, M_CHUNK)
+    max_chunk = n_pad // M_CHUNK - 1
+    sw_sl = slice_pad(ll.sw, 0.0)
+    el_sl = slice_pad(ll.elower, 0.0)
+    st_sl = slice_pad(ll.stim_ref, 1.0)
+    p_cols = np.zeros((n_shards, 10, n_pad), dtype=np.float64)
+    p_cols[:, 0, :] = -1.0e9  # nu fill: far outside any window
+    p_cols[:, 4, :] = 1.0  # stim_ref fill
+    p_cols[:, 0, :lmax] = nu_sl
+    p_cols[:, 1, :lmax] = nu_lo
+    p_cols[:, 2, :lmax] = sw_sl * factor
+    p_cols[:, 3, :lmax] = el_sl
+    p_cols[:, 4, :lmax] = st_sl
+    p_cols[:, 5, :lmax] = broad[:, 0]
+    p_cols[:, 6, :lmax] = broad[:, 1]
+    p_cols[:, 7, :lmax] = broad[:, 3]
+    p_cols[:, 8, :lmax] = broad[:, 4]
+    if include_pressure_shift:
+        p_cols[:, 9, :lmax] = broad[:, 5]
+
+    counts = (rel_mask > 0).sum(axis=2).astype(np.int64)  # (S, Bs)
+    starts = np.where(counts > 0, rel_idx[:, :, 0], 0)
+    ends = starts + counts
+    p_chunk0 = np.minimum(starts // M_CHUNK, max_chunk).astype(np.int32)
+    p_nch = np.where(
+        counts > 0, -(-ends // M_CHUNK) - starts // M_CHUNK, 0
+    ).astype(np.int32)
+    p_mc = int(max(p_nch.max(), 1))
+
     return ShardedLblData(
         n_shards=n_shards, blocks_per_shard=bs, block_width=w,
         max_lines_per_block=m, n_wave=blocks.n_wave,
@@ -124,9 +173,11 @@ def shard_lbl_blocks(ll, blocks, n_shards: int) -> ShardedLblData:
         wn=wn_row, wn_lo=wn_lo,
         # pad values keep the physics kernels finite: nu=1 (alpha_d > 0),
         # stim_ref=1; sw=0 and mask=0 already zero the contribution
-        nu=nu_sl, nu_lo=nu_lo, sw=slice_pad(ll.sw, 0.0),
-        elower=slice_pad(ll.elower, 0.0),
-        stim_ref=slice_pad(ll.stim_ref, 1.0), broad=broad,
+        nu=nu_sl, nu_lo=nu_lo, sw=sw_sl,
+        elower=el_sl,
+        stim_ref=st_sl, broad=broad,
+        p_cols=p_cols, p_chunk0=p_chunk0, p_nch=p_nch,
+        p_n_pad=n_pad, p_mc=p_mc,
     )
 
 
@@ -139,6 +190,8 @@ def _place(sh: ShardedLblData, mesh: Mesh) -> ShardedLblData:
         nu_lo=put(sh.nu_lo), sw=put(sh.sw),
         elower=put(sh.elower), stim_ref=put(sh.stim_ref),
         broad=put(sh.broad),
+        p_cols=put(sh.p_cols), p_chunk0=put(sh.p_chunk0),
+        p_nch=put(sh.p_nch),
     )
 
 
@@ -148,8 +201,14 @@ def shard_runtime_lbl(rt, mesh: Mesh):
     mesh; forward.layer_optical_depths dispatches to the shard_map path."""
     n_shards = mesh.shape["wave"]
     shards = tuple(
-        _place(shard_lbl_blocks(ll, blk, n_shards), mesh)
-        for ll, blk in zip(rt.line_lists, rt.blocks)
+        _place(
+            shard_lbl_blocks(
+                ll, blk, n_shards,
+                include_pressure_shift=rt.include_pressure_shift[i],
+            ),
+            mesh,
+        )
+        for i, (ll, blk) in enumerate(zip(rt.line_lists, rt.blocks))
     )
     return dataclasses.replace(rt, shard_data=shards, mesh=mesh)
 
@@ -160,29 +219,40 @@ def sharded_lbl_cross_section(
     wn_calc_window: float = 25.0, wn_approx_window: float = 75.0,
     include_pressure_shift: bool = True, factor=None,
     use_pallas: bool | None = None,
+    pallas_interpret: bool = False,
 ) -> jnp.ndarray:
-    """k(NWAVE, NLAY): the XLA panel kernel of ops.lbl run per wave shard
-    under shard_map — each device sees only its own line slice and wave
-    blocks (its halo), so no collective is needed.
+    """k(NWAVE, NLAY): per-wave-shard LBL synthesis under shard_map — each
+    device sees only its own line slice and wave blocks (its halo), so no
+    collective is needed.
 
-    The Pallas kernel is not dispatched inside the shard body: its static
-    line-column packing (ops/lbl_pallas._pad_line_columns) needs host
-    arrays, but shard_map hands the body traced per-shard slices. A
-    per-shard Pallas launch would take the host-side packing per shard at
-    partition time — left for a real multi-chip deployment."""
+    ``use_pallas=None`` auto-selects: the Pallas VMEM kernel on a TPU
+    backend (its per-shard line-column packing was hoisted to partition
+    time, shard_lbl_blocks), the XLA panel kernel elsewhere.
+    ``pallas_interpret=True`` forces the Pallas path in interpreter mode
+    (CPU-mesh parity tests)."""
     from jax import shard_map
 
     from archnemesis_tpu.ops.lbl import LblBlocks, lbl_cross_section
+    from archnemesis_tpu.ops.lbl_pallas import (
+        lbl_cross_section_pallas_packed,
+    )
 
     if use_pallas is None:
-        use_pallas = False
+        use_pallas = (
+            jax.default_backend() == "tpu" and sh.p_cols is not None
+        )
+    if pallas_interpret:
+        use_pallas = True
+
+    if factor is None:
+        factor = 1.0 if ll.iso_id != 0 else float(ll.abundance)
 
     t_calc = jnp.asarray(t_calc)
     p_calc = jnp.asarray(p_calc)
     amb_frac = jnp.asarray(amb_frac)
 
     def body(idx_s, mask_s, wn_s, wnlo_s, nu_s, nulo_s, sw_s, el_s, st_s,
-             br_s, t, p, fr):
+             br_s, pcols_s, pc0_s, pnch_s, t, p, fr):
         ll_s = dataclasses.replace(
             ll, nu=nu_s[0], sw=sw_s[0], elower=el_s[0],
             stim_ref=st_s[0], broad=br_s[0],
@@ -193,24 +263,41 @@ def sharded_lbl_cross_section(
             line_idx=idx_s[0], line_mask=mask_s[0], wn_pad=wn_s[0],
             n_wave=sh.blocks_per_shard * sh.block_width,
         )
-        k = lbl_cross_section(
-            ll_s, blocks_s, t, p, fr, lineshape=lineshape, s_floor=s_floor,
-            wn_calc_window=wn_calc_window,
-            wn_approx_window=wn_approx_window,
-            include_pressure_shift=include_pressure_shift, factor=factor,
-            use_pallas=use_pallas, nu_lo=nulo_s[0], wn_lo=wnlo_s[0],
-        )  # (Bs*W, NLAY)
+        if use_pallas:
+            k = lbl_cross_section_pallas_packed(
+                ll_s, blocks_s, sh.p_n_pad, sh.p_mc,
+                pc0_s[0], pnch_s[0],
+                wn_s[0][None, :], wnlo_s[0][None, :],
+                tuple(pcols_s[0, i][:, None] for i in range(10)),
+                t, p, fr,
+                lineshape=lineshape, s_floor=s_floor,
+                wn_calc_window=wn_calc_window,
+                wn_approx_window=wn_approx_window,
+                include_pressure_shift=include_pressure_shift,
+                factor=factor, interpret=pallas_interpret,
+            )  # (Bs*W, NLAY)
+        else:
+            k = lbl_cross_section(
+                ll_s, blocks_s, t, p, fr, lineshape=lineshape,
+                s_floor=s_floor,
+                wn_calc_window=wn_calc_window,
+                wn_approx_window=wn_approx_window,
+                include_pressure_shift=include_pressure_shift,
+                factor=factor,
+                use_pallas=False, nu_lo=nulo_s[0], wn_lo=wnlo_s[0],
+            )  # (Bs*W, NLAY)
         return k[None]
 
     w = P("wave")
     r = P()
     out = shard_map(
         body, mesh=mesh,
-        in_specs=(w, w, w, w, w, w, w, w, w, w, r, r, r),
+        in_specs=(w, w, w, w, w, w, w, w, w, w, w, w, w, r, r, r),
         out_specs=w,
         check_vma=False,
     )(sh.line_idx, sh.line_mask, sh.wn, sh.wn_lo, sh.nu, sh.nu_lo, sh.sw,
-      sh.elower, sh.stim_ref, sh.broad, t_calc, p_calc, amb_frac)
+      sh.elower, sh.stim_ref, sh.broad, sh.p_cols, sh.p_chunk0, sh.p_nch,
+      t_calc, p_calc, amb_frac)
     # (S, Bs*W, NLAY) -> (S*Bs*W, NLAY), trimmed to the true grid
     k = out.reshape(-1, out.shape[-1])
     return k[: sh.n_wave]

@@ -423,10 +423,78 @@ def _angle_bracket(zmu, mu_desc):
     return i, w
 
 
-def scloud11wave(
+def _phase_stacks(quad: ScatterQuadrature, phase_fns, iray: bool,
+                  nwave: int, dtype):
+    """Hansen-normalised phase-matrix stacks for every Fourier component.
+
+    Returns ``(ppln, pmin, pplr_b, pmir_b)`` with shapes
+    (nc, nwave, ncont, nmu, nmu) / (nc, nwave, nmu, nmu).  These are the
+    only wave-dependent quantities produced from the ``phase_fns``
+    callables, and they are SMALL (nc*nwave*ncont*nmu^2), so they are
+    hoisted out of the doubling core — that is what lets the core be
+    wave-tiled (`scloud11wave_tiled`) without re-evaluating phase
+    functions per tile.
+
+    Hansen renormalisation factors are the ic=0 fixed point and scale the
+    phase matrices of EVERY Fourier component (reference hansen:201 runs
+    only for ic==0 but its fc persists across the ic loop, :771-800).
+    """
+    mu_d = quad.mu_desc
+    wt_d = quad.wtmu_desc
+    nmu = quad.nmu
+    nc = quad.nf + 1
+
+    fc_modes = []
+    for pf in phase_fns:
+        p0, m0 = phase_matrices(pf, mu_d, quad.nphi, 0)
+        if p0.ndim == 2:
+            p0 = jnp.broadcast_to(p0, (nwave, nmu, nmu))
+            m0 = jnp.broadcast_to(m0, (nwave, nmu, nmu))
+        _, fc = hansen_normalise(p0, m0, wt_d)
+        fc_modes.append(fc)
+    if iray:
+        p0, m0 = rayleigh_phase_matrices(mu_d, quad.nphi, 0)
+        p0 = jnp.broadcast_to(p0, (nwave, nmu, nmu))
+        m0 = jnp.broadcast_to(m0, (nwave, nmu, nmu))
+        _, fc_ray = hansen_normalise(p0, m0, wt_d)
+
+    ppln_list = []
+    pmin_list = []
+    for j, pf in enumerate(phase_fns):
+        def build_pl(ic, pf=pf, j=j):
+            pplpl, pplmi = phase_matrices(pf, mu_d, quad.nphi, ic)
+            if pplpl.ndim == 2:
+                pplpl = jnp.broadcast_to(pplpl, (nwave, nmu, nmu))
+                pplmi = jnp.broadcast_to(pplmi, (nwave, nmu, nmu))
+            return pplpl * fc_modes[j], pplmi
+        pl = [build_pl(ic) for ic in range(nc)]
+        ppln_list.append(jnp.stack([x[0] for x in pl], axis=0))
+        pmin_list.append(jnp.stack([x[1] for x in pl], axis=0))
+    if ppln_list:
+        ppln = jnp.stack(ppln_list, axis=2)  # (nc, nwave, ncont, nmu, nmu)
+        pmin = jnp.stack(pmin_list, axis=2)
+    else:
+        ppln = jnp.zeros((nc, nwave, 0, nmu, nmu), dtype)
+        pmin = jnp.zeros((nc, nwave, 0, nmu, nmu), dtype)
+
+    if iray:
+        def build_ray(ic):
+            pplr, pmir = rayleigh_phase_matrices(mu_d, quad.nphi, ic)
+            return (jnp.broadcast_to(pplr, (nwave, nmu, nmu)) * fc_ray,
+                    jnp.broadcast_to(pmir, (nwave, nmu, nmu)))
+        rl_ = [build_ray(ic) for ic in range(nc)]
+        pplr_b = jnp.stack([x[0] for x in rl_], axis=0)
+        pmir_b = jnp.stack([x[1] for x in rl_], axis=0)
+    else:
+        pplr_b = jnp.zeros((nc, nwave, nmu, nmu), dtype)
+        pmir_b = jnp.zeros((nc, nwave, nmu, nmu), dtype)
+    return ppln, pmin, pplr_b, pmir_b
+
+
+def _scloud11wave_core(
     quad: ScatterQuadrature,
-    phase_fns,          # list of callables calpha -> p (one per aerosol mode)
-    radg,               # (nwave, nmu) ground/bottom radiance (desc order applied internally)
+    ppln, pmin, pplr_b, pmir_b,  # from _phase_stacks (wave axis = axis 1)
+    radg,               # (nwave, nmu) ground/bottom radiance (ascending mu)
     sol_ang, emiss_ang, azi_ang,  # (npath,)
     solar,              # (nwave,)
     bnu,                # (nwave, nlay) layer Planck
@@ -434,19 +502,12 @@ def scloud11wave(
     tauray,             # (nwave, nlay) Rayleigh od
     tauscat,            # (nwave, nlay) aerosol scattering od
     lfrac,              # (nwave, ncont, nlay) per-mode scattering fraction
-    iray: bool,
     brdf_matrix=None,   # (nwave, nmu, nmu, nf+1) surface BRDF Fourier terms
     nn_max: int = NN_MAX,
 ):
-    """Upward radiance (nwave, ng, npath) by adding-doubling (reference
-    scloud11wave_core, Multiple_Scattering_Core.py:652-960), lookdown
-    geometry (emission angle < 90).
-
-    All Fourier components 0..nf are evaluated (no data-dependent break).
-    ``tauscat`` here is the aerosol-only scattering od; the total single
-    scattering albedo is (tauscat+tauray)/taus per g (reference wrapper
-    ForwardModel_0.py:5121-5128 and core :852-860).
-    """
+    """Doubling/adding core over an arbitrary wave slab (all phase
+    matrices precomputed).  Everything here scales with nwave — this is
+    the function the wave-tiled driver maps over tiles."""
     mu_d = quad.mu_desc
     wt_d = quad.wtmu_desc
     nmu = quad.nmu
@@ -487,63 +548,12 @@ def scloud11wave(
 
     rad = jnp.zeros((nwave, ng, npath), dtype=taus.dtype)
 
-    # Hansen renormalisation factors are the ic=0 fixed point and scale the
-    # phase matrices of EVERY Fourier component (reference hansen:201 runs
-    # only for ic==0 but its fc persists across the ic loop, :771-800)
-    fc_modes = []
-    for pf in phase_fns:
-        p0, m0 = phase_matrices(pf, mu_d, quad.nphi, 0)
-        if p0.ndim == 2:
-            p0 = jnp.broadcast_to(p0, (nwave, nmu, nmu))
-            m0 = jnp.broadcast_to(m0, (nwave, nmu, nmu))
-        _, fc = hansen_normalise(p0, m0, wt_d)
-        fc_modes.append(fc)
-    if iray:
-        p0, m0 = rayleigh_phase_matrices(mu_d, quad.nphi, 0)
-        p0 = jnp.broadcast_to(p0, (nwave, nmu, nmu))
-        m0 = jnp.broadcast_to(m0, (nwave, nmu, nmu))
-        _, fc_ray = hansen_normalise(p0, m0, wt_d)
-
     # --- ALL Fourier components in ONE batched R/T/J evaluation ---------
     # The reference loops ic = 0..NF re-running the full doubling ladder
     # per component (Multiple_Scattering_Core.py:790); here the component
     # axis is just another leading batch dim (nc, nwave, ng, nlay, ...) so
     # the NN_MAX doubling iterations and the layer scan run once.
     nc = quad.nf + 1
-
-    def stacked_phase(build):
-        return jnp.stack([build(ic) for ic in range(nc)], axis=0)
-
-    ppln_list = []
-    pmin_list = []
-    for j, pf in enumerate(phase_fns):
-        def build_pl(ic, pf=pf, j=j):
-            pplpl, pplmi = phase_matrices(pf, mu_d, quad.nphi, ic)
-            if pplpl.ndim == 2:
-                pplpl = jnp.broadcast_to(pplpl, (nwave, nmu, nmu))
-                pplmi = jnp.broadcast_to(pplmi, (nwave, nmu, nmu))
-            return pplpl * fc_modes[j], pplmi
-        pl = [build_pl(ic) for ic in range(nc)]
-        ppln_list.append(jnp.stack([x[0] for x in pl], axis=0))
-        pmin_list.append(jnp.stack([x[1] for x in pl], axis=0))
-    if ppln_list:
-        ppln = jnp.stack(ppln_list, axis=2)  # (nc, nwave, ncont, nmu, nmu)
-        pmin = jnp.stack(pmin_list, axis=2)
-    else:
-        ppln = jnp.zeros((nc, nwave, 0, nmu, nmu), taus.dtype)
-        pmin = jnp.zeros((nc, nwave, 0, nmu, nmu), taus.dtype)
-
-    if iray:
-        def build_ray(ic):
-            pplr, pmir = rayleigh_phase_matrices(mu_d, quad.nphi, ic)
-            return (jnp.broadcast_to(pplr, (nwave, nmu, nmu)) * fc_ray,
-                    jnp.broadcast_to(pmir, (nwave, nmu, nmu)))
-        rl_ = [build_ray(ic) for ic in range(nc)]
-        pplr_b = jnp.stack([x[0] for x in rl_], axis=0)
-        pmir_b = jnp.stack([x[1] for x in rl_], axis=0)
-    else:
-        pplr_b = jnp.zeros((nc, nwave, nmu, nmu), taus.dtype)
-        pmir_b = jnp.zeros((nc, nwave, nmu, nmu), taus.dtype)
 
     # component masks: the thermal/ground source J lives only in ic=0, and
     # the phase normalisation factor is (1 + del(0,ic))
@@ -635,3 +645,112 @@ def scloud11wave(
     )
 
     return rad
+
+
+def scloud11wave(
+    quad: ScatterQuadrature,
+    phase_fns,          # list of callables calpha -> p (one per aerosol mode)
+    radg,               # (nwave, nmu) ground/bottom radiance (desc order applied internally)
+    sol_ang, emiss_ang, azi_ang,  # (npath,)
+    solar,              # (nwave,)
+    bnu,                # (nwave, nlay) layer Planck
+    taus,               # (nwave, ng, nlay) total optical depth
+    tauray,             # (nwave, nlay) Rayleigh od
+    tauscat,            # (nwave, nlay) aerosol scattering od
+    lfrac,              # (nwave, ncont, nlay) per-mode scattering fraction
+    iray: bool,
+    brdf_matrix=None,   # (nwave, nmu, nmu, nf+1) surface BRDF Fourier terms
+    nn_max: int = NN_MAX,
+):
+    """Upward radiance (nwave, ng, npath) by adding-doubling (reference
+    scloud11wave_core, Multiple_Scattering_Core.py:652-960), lookdown
+    geometry (emission angle < 90).
+
+    All Fourier components 0..nf are evaluated (no data-dependent break).
+    ``tauscat`` here is the aerosol-only scattering od; the total single
+    scattering albedo is (tauscat+tauray)/taus per g (reference wrapper
+    ForwardModel_0.py:5121-5128 and core :852-860).
+    """
+    nwave = taus.shape[0]
+    ppln, pmin, pplr_b, pmir_b = _phase_stacks(
+        quad, phase_fns, iray, nwave, taus.dtype
+    )
+    return _scloud11wave_core(
+        quad, ppln, pmin, pplr_b, pmir_b, radg,
+        sol_ang, emiss_ang, azi_ang, solar, bnu,
+        taus, tauray, tauscat, lfrac, brdf_matrix, nn_max,
+    )
+
+
+def scloud11wave_tiled(
+    quad: ScatterQuadrature,
+    phase_fns,
+    radg, sol_ang, emiss_ang, azi_ang, solar, bnu,
+    taus, tauray, tauscat, lfrac,
+    iray: bool,
+    brdf_matrix=None,
+    nn_max: int = NN_MAX,
+    wave_tile: int = 256,
+):
+    """Wave-tiled adding-doubling driver for production spectral grids.
+
+    The doubling/adding core keeps (nc, nwave, ng, nlay, nmu, nmu) R/T/J
+    stacks live: at LBL-resolution grids (10^4-10^5 waves) that exceeds a
+    16 GB v5e's HBM (2048 waves ~ 32 GB at the Jupiter shape).  The
+    reference never materialises this because it loops wave-by-wave in
+    Python (Multiple_Scattering_Core.py:790); the TPU-native equivalent
+    is ``lax.map`` over wave tiles — ONE compiled tile program run
+    ntiles times sequentially, live memory bounded by the tile, full MXU
+    batching within the tile.
+
+    Phase-matrix stacks (small: nc*nwave*ncont*nmu^2) are computed once
+    on the full grid and sliced per tile.  Padding lanes (taus=0) are
+    numerically inert (no cross-wave mixing anywhere in the core) and
+    discarded on exit.  Numerics are identical to `scloud11wave` per
+    wave modulo XLA fusion-order rounding.
+    """
+    nwave = taus.shape[0]
+    if nwave <= wave_tile:
+        return scloud11wave(
+            quad, phase_fns, radg, sol_ang, emiss_ang, azi_ang, solar,
+            bnu, taus, tauray, tauscat, lfrac, iray, brdf_matrix, nn_max,
+        )
+    ppln, pmin, pplr_b, pmir_b = _phase_stacks(
+        quad, phase_fns, iray, nwave, taus.dtype
+    )
+
+    ntiles = -(-nwave // wave_tile)
+    pad = ntiles * wave_tile - nwave
+
+    def tile_axis0(x):
+        x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return x.reshape((ntiles, wave_tile) + x.shape[1:])
+
+    def tile_axis1(x):  # (nc, nwave, ...) -> (ntiles, nc, wave_tile, ...)
+        x = jnp.pad(x, [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2))
+        x = x.reshape(
+            (x.shape[0], ntiles, wave_tile) + x.shape[2:]
+        )
+        return jnp.moveaxis(x, 1, 0)
+
+    xs = {
+        "ppln": tile_axis1(ppln), "pmin": tile_axis1(pmin),
+        "pplr": tile_axis1(pplr_b), "pmir": tile_axis1(pmir_b),
+        "radg": tile_axis0(radg), "solar": tile_axis0(solar),
+        "bnu": tile_axis0(bnu), "taus": tile_axis0(taus),
+        "tauray": tile_axis0(tauray), "tauscat": tile_axis0(tauscat),
+        "lfrac": tile_axis0(lfrac),
+    }
+    if brdf_matrix is not None:
+        xs["brdf"] = tile_axis0(brdf_matrix)
+
+    def body(x):
+        return _scloud11wave_core(
+            quad, x["ppln"], x["pmin"], x["pplr"], x["pmir"], x["radg"],
+            sol_ang, emiss_ang, azi_ang, x["solar"], x["bnu"],
+            x["taus"], x["tauray"], x["tauscat"], x["lfrac"],
+            x.get("brdf"), nn_max,
+        )
+
+    rad = jax.lax.map(body, xs)  # (ntiles, wave_tile, ng, npath)
+    return rad.reshape((ntiles * wave_tile,) + rad.shape[2:])[:nwave]

@@ -11,9 +11,10 @@ driver-defined kernels (BASELINE.json: "LBL + scattering"):
   resolution, ~15k lines, 40 layers;
 - ``scattering_gridpoints_per_s``: nadir multiple-scattering forward
   (adding–doubling core, NMU=5, NF=2, HG aerosol + Rayleigh + solar)
-  at 256 waves x 10 g x 39 layers (the per-tile shape production runs
-  tile the wave axis at; the adding-doubling scan keeps (nwave, ng, nlay,
-  nmu, nmu) R/T/J stacks live, so 2048 waves exceeds the v5e's 16G HBM).
+  at 2048 waves x 10 g x 39 layers, wave-tiled (lax.map over 256-wave
+  tiles, rt/scattering.scloud11wave_tiled) so the (nwave, ng, nlay,
+  nmu, nmu) R/T/J stacks stay within the v5e's 16G HBM — the
+  production path for LBL-resolution scattering grids.
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -194,7 +195,8 @@ def bench_scattering(atm, ktab10, laycfg_headline, surf):
     atm = jax.device_put(atm)
     ktab10 = jax.device_put(ktab10)
     dt = _time_reps(fwd, (atm, ktab10))
-    return nwave / dt, dict(nwave=nwave, nmu=5, nf=2, ng=10)
+    return nwave / dt, dict(nwave=nwave, nmu=5, nf=2, ng=10,
+                            wave_tile=int(cfg.scat_wave_tile))
 
 
 def main():
@@ -299,10 +301,10 @@ def main():
     lbl_gps, lbl_shape = bench_lbl()
     _log(f"lbl done: {lbl_gps:.0f} gp/s")
 
-    # adding-doubling holds (nwave, ng, nlay, nmu, nmu) R/T/J stacks live
-    # through the scan; 512 waves x 10 g fits the v5e's 16G HBM (2048 OOMs
-    # at 32G) — production runs tile the wave axis at this granularity
-    ng_s, nwave_s = 10, 256
+    # production shape: 2048 waves through the wave-tiled driver (lax.map
+    # over cfg.scat_wave_tile=256-wave tiles keeps the live R/T/J stacks
+    # at tile size; untiled 2048 waves needs 32G on a 16G v5e)
+    ng_s, nwave_s = 10, 2048
     xs, ws = np.polynomial.legendre.leggauss(ng_s)
     g10, dg10 = 0.5 * (xs + 1), 0.5 * ws
     ktab10 = KTables(

@@ -18,6 +18,7 @@ from archnemesis_tpu.rt.scattering import (
     ScatterQuadrature,
     henyey_greenstein2,
     scloud11wave,
+    scloud11wave_tiled,
 )
 
 GOLDEN = "tests/goldens/scatter_core.npz"
@@ -78,3 +79,43 @@ def test_scloud11wave_vs_reference(d, key, solar_on, surface):
     want = d[key]
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=0)
+
+
+def test_tiled_matches_untiled(d):
+    """Wave-tiled driver == untiled core, including a tile size that does
+    NOT divide nwave (padding lanes must be inert) and a BRDF bottom
+    layer threaded through every tile."""
+    quad = ScatterQuadrature(
+        mu=tuple(d["MU"]), wtmu=tuple(d["WTMU"]),
+        nf=int(d["NF"]), nphi=int(d["NPHI"]),
+    )
+    nwave = d["vwaves"].shape[0]
+    f = jnp.asarray(d["f"])[:, None, None, None]
+    g1 = jnp.asarray(d["g1"])[:, None, None, None]
+    g2 = jnp.asarray(d["g2"])[:, None, None, None]
+    phase_fns = [lambda c: henyey_greenstein2(c[None], f, g1, g2)]
+    brdf = np.zeros((nwave, quad.nmu, quad.nmu, quad.nf + 1))
+    brdf[..., 0] = 0.3 / np.pi
+
+    kw = dict(
+        radg=jnp.asarray(d["radg"]),
+        sol_ang=jnp.asarray(d["SOL_ANGS"]),
+        emiss_ang=jnp.asarray(d["EMISS_ANGS"]),
+        azi_ang=jnp.asarray(d["APHIS"]),
+        solar=jnp.asarray(d["solar"]),
+        bnu=jnp.asarray(d["bnu"]),
+        taus=jnp.asarray(d["taus"]),
+        tauray=jnp.asarray(d["tauray"]),
+        tauscat=jnp.asarray(d["tauscat_aero"]),
+        lfrac=jnp.asarray(d["lfrac"]),
+        iray=True,
+        brdf_matrix=jnp.asarray(brdf),
+    )
+    ref = scloud11wave(quad, phase_fns, **kw)
+    tile = max(2, nwave - 1)  # two tiles, second mostly padding
+    assert nwave % tile != 0
+    got = scloud11wave_tiled(quad, phase_fns, wave_tile=tile, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-12, atol=0
+    )
+    assert np.all(np.isfinite(np.asarray(got)))

@@ -147,3 +147,53 @@ def test_sharded_lbl_cross_section_unit():
             s_floor=rt.s_floor[0],
         ))
     np.testing.assert_allclose(k1, k0, rtol=1e-12, atol=np.abs(k0).max() * 1e-15)
+
+
+@pytest.mark.slow
+def test_sharded_lbl_pallas_matches_xla():
+    """The Pallas VMEM kernel dispatched INSIDE the shard_map body (packed
+    line columns hoisted to partition time) matches the XLA panel kernel
+    per shard — interpret mode on the CPU mesh (r4 VERDICT item 2)."""
+    from archnemesis_tpu.io.legacy import load_deck
+    from archnemesis_tpu.ops.lbl import lbl_cross_section
+    from archnemesis_tpu.parallel.sharded import (
+        _place,
+        shard_lbl_blocks,
+        sharded_lbl_cross_section,
+    )
+
+    deck = load_deck("tests/fixtures/co_runtime", "cirstest")
+    nconv = int(deck.geometry.nconv[0])
+    vconv = deck.geometry.vconv[:nconv, 0]
+    rt = deck.ktables.windowed(vconv.min(), vconv.max())
+    ll, blocks = rt.line_lists[0], rt.blocks[0]
+
+    t = jnp.asarray([150.0, 210.0, 280.0])
+    p = jnp.asarray([0.5, 0.05, 0.005])
+    amb = jnp.asarray([0.9, 0.9, 0.9])
+
+    k0 = np.asarray(lbl_cross_section(
+        ll, blocks, t, p, amb, use_pallas=False,
+        s_floor=rt.s_floor[0],
+    ))
+    mesh = make_mesh(n_wave=8, n_data=1)
+    sh = _place(shard_lbl_blocks(ll, blocks, 8), mesh)
+    with mesh:
+        k1 = np.asarray(sharded_lbl_cross_section(
+            ll, sh, mesh, t, p, amb, pallas_interpret=True,
+            s_floor=rt.s_floor[0],
+        ))
+        # jacfwd still flows (custom JVP delegates tangents to XLA)
+        jfn = lambda tt: sharded_lbl_cross_section(  # noqa: E731
+            ll, sh, mesh, tt, p, amb, pallas_interpret=True,
+            s_floor=rt.s_floor[0],
+        ).sum()
+        g1 = np.asarray(jax.jacfwd(jfn)(t))
+    g0 = np.asarray(jax.jacfwd(
+        lambda tt: lbl_cross_section(
+            ll, blocks, tt, p, amb, use_pallas=False,
+            s_floor=rt.s_floor[0],
+        ).sum()
+    )(t))
+    np.testing.assert_allclose(k1, k0, rtol=1e-10, atol=0)
+    np.testing.assert_allclose(g1, g0, rtol=1e-10, atol=np.abs(g0).max() * 1e-12)
