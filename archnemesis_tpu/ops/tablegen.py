@@ -133,16 +133,17 @@ def generate_ktable(
     return k_g, g_ord, del_g
 
 
-def _ktable_chunk(ll_win, press_atm, temp, wave, ng, amb_frac, lineshape,
+def _chunk_launch(ll_win, press_atm, temp, wave, amb_frac, lineshape,
                   wn_calc_window, wn_approx_window, include_pressure_shift,
-                  fine_points_cap):
-    """One wavenumber chunk of the batched k-table pipeline: ALL (P,T)
-    grid points synthesised in a single kernel evaluation on a shared
-    fine grid (the kernel's layer axis is the (P,T) batch), then binned
-    into g-distributions per table bin."""
+                  fine_points_cap, device=None):
+    """Device phase of one wavenumber chunk: synthesise fine-grid
+    cross-sections for the WHOLE (P,T) grid in a single batched kernel
+    evaluation.  Returns the UNMATERIALISED device array plus the rebin
+    metadata — dispatch is async, so launching several chunks on
+    different ``device``s overlaps their synthesis across a mesh.
+    """
     from archnemesis_tpu.constants import C_LIGHT_CGS, K_B_CGS, N_AVOGADRO
 
-    g_ord, del_g = gauss_legendre_g(ng)
     delwave = wave[1] - wave[0] if wave.size > 1 else wave[0] * 0 + 1.0
     vmin = wave[0] - delwave / 2.0
     vmax = wave[-1] + delwave / 2.0
@@ -180,13 +181,27 @@ def _ktable_chunk(ll_win, press_atm, temp, wave, ng, amb_frac, lineshape,
 
     blocks = build_blocks(wavecalc, ll_c.nu,
                           wn_approx_window=wn_approx_window)
-    kabs = np.asarray(lbl_cross_section(
-        ll_c, blocks, tcol, pcol, np.full(pcol.size, amb_frac),
+    tcol_d, pcol_d, amb_d = tcol, pcol, np.full(pcol.size, amb_frac)
+    if device is not None:
+        import jax
+
+        tcol_d = jax.device_put(tcol_d, device)
+        pcol_d = jax.device_put(pcol_d, device)
+        amb_d = jax.device_put(amb_d, device)
+    kabs = lbl_cross_section(
+        ll_c, blocks, tcol_d, pcol_d, amb_d,
         lineshape=lineshape, wn_calc_window=wn_calc_window,
         wn_approx_window=wn_approx_window,
         include_pressure_shift=include_pressure_shift,
-    ))  # (NCALC, NP*NT)
+    )  # (NCALC, NP*NT) device array, NOT materialised
+    return kabs, wavecalc, dfine, delwave, vmin, vmax, npress, ntemp
 
+
+def _chunk_rebin(kabs, wavecalc, dfine, delwave, vmin, vmax, npress, ntemp,
+                 wave, ng, g_ord):
+    """Host phase of one chunk: sort the fine-grid cross-sections per conv
+    bin into g-space and interpolate onto the Gauss-Legendre g ordinates
+    (vectorised over all (P,T) columns at once)."""
     k_g = np.zeros((len(wave), ng, npress, ntemp))
     for iw, wc in enumerate(wave):
         lo = np.searchsorted(wavecalc, wc - delwave / 2.0, side="left")
@@ -231,26 +246,40 @@ def generate_ktable_chunked(
     wn_approx_window: float = 75.0,
     include_pressure_shift: bool = True,
     fine_points_cap: int = 2_000_000,
+    devices=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Wavenumber-chunked, (P,T)-batched k-table pipeline — the
     production-scale counterpart of ``generate_ktable`` and of the
     reference's joblib-threaded chunking (calc_ktable n_chunks,
     Spectroscopy_0.py:3355,3528-3534). Each chunk fetches its own
     line window (2x approx pad, :3590-3596) and synthesises cross-sections
-    for the WHOLE (P,T) grid in one device-batched kernel call, so the
-    work per chunk is a single jit evaluation (the natural unit to fan out
-    over chips; each chunk is independent).
+    for the WHOLE (P,T) grid in one device-batched kernel call.
+
+    ``devices`` (e.g. ``jax.devices()``) fans the chunks out round-robin:
+    all launches are dispatched asynchronously FIRST — one in-flight
+    synthesis per device, overlapping across the mesh — and the host
+    rebins each chunk's result as it completes (the reference's joblib
+    thread pool, Spectroscopy_0.py:3528, re-expressed as async device
+    dispatch).  ``devices=None`` keeps everything on the default device,
+    still overlapping chunk k+1's synthesis with chunk k's host rebin.
 
     Returns (k_g, g_ord, del_g) with k_g (NWAVE, NG, NP, NT).
     """
     g_ord, del_g = gauss_legendre_g(ng)
-    parts = []
-    for idx in np.array_split(np.arange(len(wave)), n_chunks):
+    launches = []
+    for i, idx in enumerate(np.array_split(np.arange(len(wave)), n_chunks)):
         if idx.size == 0:
             continue
-        parts.append(_ktable_chunk(
-            ll, press_atm, temp, wave[idx], ng, amb_frac, lineshape,
+        dev = devices[i % len(devices)] if devices else None
+        launches.append((idx, _chunk_launch(
+            ll, press_atm, temp, wave[idx], amb_frac, lineshape,
             wn_calc_window, wn_approx_window, include_pressure_shift,
-            fine_points_cap,
+            fine_points_cap, device=dev,
+        )))
+    parts = []
+    for idx, (kabs, wavecalc, dfine, delwave, vmin, vmax, np_, nt_) in launches:
+        parts.append(_chunk_rebin(
+            np.asarray(kabs), wavecalc, dfine, delwave, vmin, vmax,
+            np_, nt_, wave[idx], ng, g_ord,
         ))
     return np.concatenate(parts, axis=0), g_ord, del_g

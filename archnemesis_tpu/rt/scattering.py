@@ -200,6 +200,248 @@ def _inv_combine(m):
     return jnp.linalg.inv(m)
 
 
+# ---------------------------------------------------------------------------
+# Struct-of-arrays (batch-minor) R/T/J algebra — the f32/TPU fast path.
+#
+# An array-of-structures (..., 5, 5) stack pads its trailing dims to the
+# TPU's (8, 128) register tile: 41x physical bytes per logical byte.
+# Measured on chip (tools/profile_scattering.py): even a pure elementwise
+# mul-add over (300k, 5, 5) f32 streams at ~9 GB/s LOGICAL (~370 GB/s
+# physical — HBM speed on padded data), and one batched 5x5 matmul costs
+# 19 ms.  The doubling ladder runs ~20 such iterations and was therefore
+# HBM-bound at 41x inflated traffic.
+#
+# Row form stores a matrix stack as a python list-of-lists of FLAT (B,)
+# arrays (B = the whole batch, minor axis -> lanes, zero padding waste)
+# and unrolls the 5x5 algebra into fused VPU elementwise ops; physical
+# bytes == logical bytes, a ~40x traffic reduction on the ladder.  Used
+# for float32 only: the f64 oracle-parity path keeps the original AoS
+# algebra (LAPACK-ordered inverses, dot_general sums) bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _rows_mm(a, b):
+    """Row-form matmul: a (n x k), b (k x m) lists of (B,) arrays."""
+    kk = len(b)
+    return [
+        [
+            sum(a[i][q] * b[q][j] for q in range(kk))
+            for j in range(len(b[0]))
+        ]
+        for i in range(len(a))
+    ]
+
+
+def _rows_mv(a, v):
+    return [sum(a[i][q] * v[q] for q in range(len(v))) for i in range(len(a))]
+
+
+def _rows_add(a, b):
+    return [
+        [a[i][j] + b[i][j] for j in range(len(a[0]))] for i in range(len(a))
+    ]
+
+
+def _rows_frob(a):
+    return jnp.sqrt(sum(a[i][j] ** 2 for i in range(len(a))
+                        for j in range(len(a[0]))))
+
+
+def _rows_where(mask, a, b):
+    return [
+        [jnp.where(mask, a[i][j], b[i][j]) for j in range(len(a[0]))]
+        for i in range(len(a))
+    ]
+
+
+def _rows_vwhere(mask, a, b):
+    return [jnp.where(mask, a[i], b[i]) for i in range(len(a))]
+
+
+def _rows_inv(a):
+    """Unrolled no-pivot Gauss-Jordan in row form (see _inv_small for why
+    no pivoting is safe on E - Rsub@R1)."""
+    n = len(a)
+    m = [row[:] for row in a]
+    inv = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+    for k in range(n):
+        piv = 1.0 / m[k][k]
+        mk = [m[k][j] * piv for j in range(n)]
+        ik = [inv[k][j] * piv for j in range(n)]
+        for i in range(n):
+            if i == k:
+                continue
+            f = m[i][k]
+            m[i] = [m[i][j] - f * mk[j] for j in range(n)]
+            inv[i] = [inv[i][j] - f * ik[j] for j in range(n)]
+        m[k] = mk
+        inv[k] = ik
+    return inv
+
+
+def _rows_stack(rows):
+    """list-of-lists of (B,) -> (B, n, m) AoS array."""
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
+
+
+def _combine_rows(r1, t1, j1, rsub, tsub, jsub, j_on, thresh: float,
+                  frob_of_rsq: bool):
+    """Row-form of :func:`_combine` (reference add:277 / addp:482).
+
+    r1/t1/rsub/tsub: (nmu x nmu) lists of (B,) arrays; j1/jsub: nmu-lists;
+    j_on: (B,)-broadcastable mask/factor. Same series-vs-inverse branch
+    thresholds as the AoS path.
+    """
+    nmu = len(r1)
+    rsq = _rows_mm(rsub, r1)
+    norm = _rows_frob(rsq) if frob_of_rsq else _rows_frob(r1)
+    emr = [
+        [(1.0 if i == j else 0.0) - rsq[i][j] for j in range(nmu)]
+        for i in range(nmu)
+    ]
+    inv = _rows_inv(emr)
+    series = [
+        [(1.0 if i == j else 0.0) + rsq[i][j] for j in range(nmu)]
+        for i in range(nmu)
+    ]
+    big = norm > thresh
+    acom = _rows_where(big, inv, series)
+    ccom = _rows_mm(t1, acom)
+    rans = _rows_add(r1, _rows_mm(_rows_mm(ccom, rsub), t1))
+    tans = _rows_mm(ccom, tsub)
+    jt = _rows_mv(rsub, j1)
+    jt = [jt[i] + jsub[i] for i in range(nmu)]
+    jcc = _rows_mv(ccom, jt)
+    jans = _rows_vwhere(j_on, [jcc[i] + j1[i] for i in range(nmu)], j1)
+    return rans, tans, jans
+
+
+def _rtj_rows(taut, tauscat, tauray, bc, frac_modes, phase_el,
+              cc_diag, mminv_diag, j_on_f, con_fac, nn_max: int,
+              static_trip_count: bool = False):
+    """Row-form layer_rtj over a FLAT (B,) batch (the f32/TPU path).
+
+    taut/tauscat/tauray/bc/j_on_f/con_fac: (B,) arrays (j_on_f is the
+    float ic==0 indicator); frac_modes: list of (B,) per-mode scattering
+    fractions; phase_el(kind, m, i, j) -> (B,) fetches one matrix element
+    of the aerosol ('pl'/'mi', mode m) or Rayleigh ('rl'/'rm') phase
+    stacks.  Returns (r_rows, t_rows, j_vec) in row form.
+    """
+    nmu = np.asarray(cc_diag).shape[0]
+    cc_np = np.asarray(cc_diag)
+    mminv_np = np.asarray(mminv_diag)
+    cc = [float(cc_np[j]) for j in range(nmu)]
+    mminv = [float(mminv_np[i]) for i in range(nmu)]
+    nmodes = len(frac_modes)
+
+    tscat = jnp.maximum(tauscat, 0.0)
+    total_scat = tscat + tauray
+    safe_taut = jnp.where(taut > 0.0, taut, 1.0)
+    omega = jnp.where(taut > 0.0, total_scat / safe_taut, 0.0)
+    safe_ts = jnp.where(total_scat > 0.0, total_scat, 1.0)
+    wray = tauray / safe_ts
+    wsca = [tscat / safe_ts * frac_modes[m] for m in range(nmodes)]
+
+    def mixed(kind_aero, kind_ray, i, j):
+        out = wray * phase_el(kind_ray, 0, i, j)
+        for m in range(nmodes):
+            out = out + wsca[m] * phase_el(kind_aero, m, i, j)
+        return out
+
+    pplpl = [[mixed("pl", "rl", i, j) for j in range(nmu)]
+             for i in range(nmu)]
+    pplmi = [[mixed("mi", "rm", i, j) for j in range(nmu)]
+             for i in range(nmu)]
+
+    # --- scattering branch: doubling ladder ------------------------------
+    taut_s = jnp.maximum(taut, 1e-30)
+    con = omega * np.pi * con_fac
+    gplpl = [
+        [mminv[i] * ((1.0 if i == j else 0.0) - con * pplpl[i][j] * cc[j])
+         for j in range(nmu)]
+        for i in range(nmu)
+    ]
+    gplmi = [
+        [mminv[i] * (con * pplmi[i][j] * cc[j]) for j in range(nmu)]
+        for i in range(nmu)
+    ]
+    nn = jnp.trunc(jnp.log2(taut_s) + 12.0).astype(jnp.int32)
+    nn = jnp.minimum(nn, nn_max)
+    xfac = jnp.where(nn >= 1, 2.0 ** (-nn.astype(taut.dtype)), 1.0)
+    tau0 = taut_s * xfac
+    t1 = [[(1.0 if i == j else 0.0) - tau0 * gplpl[i][j]
+           for j in range(nmu)] for i in range(nmu)]
+    r1 = [[tau0 * gplmi[i][j] for j in range(nmu)] for i in range(nmu)]
+    j1 = [(1.0 - omega) * bc * j_on_f * tau0 * mminv[i]
+          for i in range(nmu)]
+
+    true_mask = jnp.ones_like(taut, dtype=bool)
+
+    def body(k, carry):
+        r, t, j = carry
+        rn, tn, jn = _combine_rows(r, t, j, r, t, j, true_mask,
+                                   thresh=0.1, frob_of_rsq=False)
+        do = k < nn
+        return (_rows_where(do, rn, r), _rows_where(do, tn, t),
+                _rows_vwhere(do, jn, j))
+
+    upper = nn_max if static_trip_count else jnp.minimum(jnp.max(nn), nn_max)
+    rs, ts, js = jax.lax.fori_loop(0, upper, body, (r1, t1, j1))
+
+    # --- non-scattering / zero-opacity branches + select -----------------
+    tdiag = [jnp.where(-mminv[i] * taut > -200.0,
+                       jnp.exp(-mminv[i] * taut), 0.0) for i in range(nmu)]
+    scat = (omega > 0.0) & (taut > 0.0)
+    zero = ~(taut > 0.0)
+    zeros = jnp.zeros_like(taut)
+    rl, tl, jl = [], [], []
+    for i in range(nmu):
+        rl.append([])
+        tl.append([])
+        for j in range(nmu):
+            tn_ij = tdiag[i] if i == j else zeros
+            tz_ij = 1.0 + zeros if i == j else zeros
+            rl[i].append(jnp.where(zero, zeros,
+                                   jnp.where(scat, rs[i][j], zeros)))
+            tl[i].append(jnp.where(zero, tz_ij,
+                                   jnp.where(scat, ts[i][j], tn_ij)))
+        jn_i = bc * j_on_f * (1.0 - tdiag[i])
+        jl.append(jnp.where(zero, zeros,
+                            jnp.where(scat, js[i], jn_i)))
+    return rl, tl, jl
+
+
+def _combine_path_rows(rl, tl, jl, j_on_mask, r0=None, t0=None, j0=None):
+    """Row-form combine_path: rl/tl are (nmu x nmu) lists of (nlay, F)
+    arrays, jl an nmu-list; the scan runs over the leading layer axis."""
+    if r0 is None:
+        init = (
+            [[rl[i][j][0] for j in range(len(rl[0]))] for i in range(len(rl))],
+            [[tl[i][j][0] for j in range(len(tl[0]))] for i in range(len(tl))],
+            [jl[i][0] for i in range(len(jl))],
+        )
+        rest = (
+            [[rl[i][j][1:] for j in range(len(rl[0]))] for i in range(len(rl))],
+            [[tl[i][j][1:] for j in range(len(tl[0]))] for i in range(len(tl))],
+            [jl[i][1:] for i in range(len(jl))],
+        )
+    else:
+        init = (r0, t0, j0)
+        rest = (rl, tl, jl)
+
+    def step(carry, x):
+        rsub, tsub, jsub = carry
+        r1, t1, j1 = x
+        out = _combine_rows(r1, t1, j1, rsub, tsub, jsub, j_on_mask,
+                            thresh=0.01, frob_of_rsq=True)
+        return out, None
+
+    (rc, tc, jc), _ = jax.lax.scan(step, init, rest)
+    return rc, tc, jc
+
+
 def _combine(r1, t1, j1, rsub, tsub, jsub, j_on, thresh: float,
              frob_of_rsq: bool):
     """Combine layer (r1,t1,j1) on top of (rsub,tsub,jsub) (reference add:277
@@ -491,6 +733,177 @@ def _phase_stacks(quad: ScatterQuadrature, phase_fns, iray: bool,
     return ppln, pmin, pplr_b, pmir_b
 
 
+def _scloud11wave_core_rows(
+    quad: ScatterQuadrature,
+    ppln, pmin, pplr_b, pmir_b,
+    radg, sol_ang, emiss_ang, azi_ang, solar, bnu,
+    taus, tauray, tauscat, lfrac,
+    brdf_matrix=None,
+    nn_max: int = NN_MAX,
+):
+    """Struct-of-arrays doubling/adding core (f32/TPU production path).
+
+    Same math and branch thresholds as the AoS body below, but every
+    matrix stack lives as 25 flat (B,) arrays (B = nlay*nc*nwave*ng for
+    the ladder, nc*nwave*ng for the layer-adding scan), so all algebra is
+    fused VPU elementwise work with zero register-tile padding — measured
+    ~40x less HBM traffic than the AoS (…,5,5) layout
+    (tools/profile_scattering.py; BASELINE.md scattering roofline).
+    """
+    mu_d = quad.mu_desc
+    wt_d = quad.wtmu_desc
+    nmu = quad.nmu
+    cc_diag = jnp.asarray(wt_d)
+    mminv_diag = 1.0 / jnp.asarray(mu_d)
+    xfac = 0.5 / np.sum(mu_d * wt_d)
+
+    nwave, ng, nlay = taus.shape
+    npath = emiss_ang.shape[0]
+    nc = quad.nf + 1
+    ncont = lfrac.shape[1]
+    dtype = taus.dtype
+    radg_d = radg[:, ::-1]
+
+    # angle bracketing (identical to the AoS body)
+    zmu0 = jnp.where(
+        sol_ang > 90.0,
+        jnp.cos(jnp.deg2rad(180.0 - sol_ang)),
+        jnp.cos(jnp.deg2rad(sol_ang)),
+    )
+    sol_on = (sol_ang <= 90.0).astype(dtype)
+    zmu = jnp.cos(jnp.deg2rad(emiss_ang))
+    isol, u = _angle_bracket(zmu0, mu_d)
+    iemm, t = _angle_bracket(zmu, mu_d)
+    u = u.astype(dtype)  # numpy-f64 quadrature nodes otherwise promote
+    t = t.astype(dtype)
+
+    # scattering od per (wave, g, lay) (reference core :852-860)
+    safe_taus = jnp.where(taus > 0.0, taus, 1.0)
+    omega_in = jnp.clip(
+        (tauscat + tauray)[:, None, :] / safe_taus, 0.0, 1.0
+    )
+    tscat_g = jnp.maximum(taus * omega_in - tauray[:, None, :], 0.0)
+
+    # --- flatten to (B,) in (nlay, nc, nwave, ng) order ------------------
+    full = (nc, nwave, ng, nlay)
+
+    def flat(x):
+        x = jnp.broadcast_to(x, full)
+        return jnp.transpose(x, (3, 0, 1, 2)).reshape(-1)
+
+    ic_axis = jnp.arange(nc, dtype=dtype)
+    j_on_col = (ic_axis == 0).astype(dtype)[:, None, None, None]
+    taut_f = flat(taus[None])
+    tscat_f = flat(tscat_g[None])
+    tray_f = flat(tauray[:, None, :][None])
+    bnu_f = flat(bnu[:, None, :][None])
+    frac_modes = [flat(lfrac[:, m, :][:, None, :][None])
+                  for m in range(ncont)]
+    j_on_f = flat(j_on_col)
+    con_fac_f = flat(1.0 + j_on_col)
+
+    def phase_el(kind, m, i, j):
+        if kind == "pl":
+            src = ppln[:, :, m, i, j]
+        elif kind == "mi":
+            src = pmin[:, :, m, i, j]
+        elif kind == "rl":
+            src = pplr_b[:, :, i, j]
+        else:
+            src = pmir_b[:, :, i, j]
+        # the azimuth quadrature weights inside _phase_stacks are f64
+        # numpy; pin the rows algebra to the forward dtype
+        return flat(src[:, :, None, None]).astype(dtype)
+
+    # quadrature diagonals go in as HOST numpy so the row algebra can bake
+    # them into python-float constants (jnp versions are staged tracers
+    # inside the wave-tiled lax.map body)
+    rl, tl, jl = _rtj_rows(
+        taut_f, tscat_f, tray_f, bnu_f, frac_modes, phase_el,
+        np.asarray(wt_d), 1.0 / np.asarray(mu_d), j_on_f, con_fac_f,
+        nn_max,
+    )
+
+    # --- layer-adding scan over nlay (same order as the AoS body) --------
+    F = nc * nwave * ng
+    rl = [[rl[i][j].reshape(nlay, F) for j in range(nmu)]
+          for i in range(nmu)]
+    tl = [[tl[i][j].reshape(nlay, F) for j in range(nmu)]
+          for i in range(nmu)]
+    jl = [jl[i].reshape(nlay, F) for i in range(nmu)]
+
+    j_on_scan = jnp.broadcast_to(
+        j_on_col[:, :, :, 0], (nc, nwave, ng)
+    ).reshape(F)
+    j_on_mask = j_on_scan > 0.5
+
+    if brdf_matrix is not None:
+        zero_f = jnp.zeros((F,), dtype)
+
+        def brdf_el(i, j):
+            src = jnp.transpose(brdf_matrix[:, i, j, :], (1, 0))  # (nc, nwave)
+            fac = 2.0 * np.pi * float(mu_d[j]) * float(wt_d[j]) * float(xfac)
+            return fac * jnp.broadcast_to(
+                src[:, :, None], (nc, nwave, ng)
+            ).reshape(F)
+
+        r0 = [[brdf_el(i, j) for j in range(nmu)] for i in range(nmu)]
+        t0 = [[zero_f for _ in range(nmu)] for _ in range(nmu)]
+        j0 = [
+            jnp.broadcast_to(
+                radg_d[None, :, None, i], (nc, nwave, ng)
+            ).reshape(F) * j_on_scan
+            for i in range(nmu)
+        ]
+        rc, tc, jc = _combine_path_rows(rl, tl, jl, j_on_mask,
+                                        r0=r0, t0=t0, j0=j0)
+    else:
+        rc, tc, jc = _combine_path_rows(rl, tl, jl, j_on_mask)
+
+    jc = [jc[i] * j_on_scan for i in range(nmu)]
+
+    # --- path extraction: convert the (small) combined operators to AoS
+    # once and reuse the shared geometry code --------------------------
+    shape3 = (nc, nwave, ng)
+    rcomb = _rows_stack(
+        [[rc[i][j].reshape(shape3) for j in range(nmu)] for i in range(nmu)]
+    )  # (nc, nwave, ng, nmu, nmu)
+    tcomb = _rows_stack(
+        [[tc[i][j].reshape(shape3) for j in range(nmu)] for i in range(nmu)]
+    )
+    jcomb = jnp.stack([jc[i].reshape(shape3) for i in range(nmu)], axis=-1)
+
+    utmi = radg_d[None] * j_on_col[..., 0]  # (nc, nwave, nmu)
+    base = (
+        jnp.einsum("cwgij,cwj->cwgi", tcomb, utmi) + jcomb
+    )  # (nc, nwave, ng, nmu)
+
+    cosfac = jnp.cos(
+        ic_axis[:, None] * jnp.deg2rad(azi_ang)[None, :]
+    ) * jnp.where(ic_axis[:, None] > 0, 2.0, 1.0)  # (nc, npath)
+
+    def path_rad(ip):
+        s = sol_on[ip] * solar / (2.0 * np.pi)  # (nwave,)
+        i0 = isol[ip]
+        ie = iemm[ip]
+        yx = []
+        for d0 in (0, 1):
+            col = jnp.take(rcomb, i0 + d0, axis=4)  # (nc, nwave, ng, nmu)
+            umi = base + col * (s / jnp.asarray(wt_d, dtype)[i0 + d0])[:, None, None]
+            for de in (0, 1):
+                yx.append(jnp.take(umi, ie + de, axis=3))
+        tt, uu = t[ip], u[ip]
+        drad = (
+            (1 - tt) * (1 - uu) * yx[0]
+            + tt * (1 - uu) * yx[1]
+            + (1 - tt) * uu * yx[2]
+            + tt * uu * yx[3]
+        )  # (nc, nwave, ng)
+        return jnp.einsum("cwg,c->wg", drad, cosfac[:, ip])
+
+    return jnp.stack([path_rad(ip) for ip in range(npath)], axis=-1)
+
+
 def _scloud11wave_core(
     quad: ScatterQuadrature,
     ppln, pmin, pplr_b, pmir_b,  # from _phase_stacks (wave axis = axis 1)
@@ -507,7 +920,18 @@ def _scloud11wave_core(
 ):
     """Doubling/adding core over an arbitrary wave slab (all phase
     matrices precomputed).  Everything here scales with nwave — this is
-    the function the wave-tiled driver maps over tiles."""
+    the function the wave-tiled driver maps over tiles.
+
+    float32 dispatches to the struct-of-arrays fast path (see the row
+    algebra section above); float64 keeps this AoS body, whose inverse
+    ordering and dot sums are the oracle-parity contract (rtol 1e-10).
+    """
+    if taus.dtype == jnp.float32:
+        return _scloud11wave_core_rows(
+            quad, ppln, pmin, pplr_b, pmir_b, radg,
+            sol_ang, emiss_ang, azi_ang, solar, bnu,
+            taus, tauray, tauscat, lfrac, brdf_matrix, nn_max,
+        )
     mu_d = quad.mu_desc
     wt_d = quad.wtmu_desc
     nmu = quad.nmu

@@ -81,6 +81,60 @@ def test_scloud11wave_vs_reference(d, key, solar_on, surface):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=0)
 
 
+def test_f32_rows_path_matches_golden(d):
+    """float32 dispatches to the struct-of-arrays core (flat-batch row
+    algebra); it must reproduce the f64 AoS/oracle result to f32 ladder
+    accumulation accuracy on all three golden cases."""
+    import jax
+
+    quad = ScatterQuadrature(
+        mu=tuple(d["MU"]), wtmu=tuple(d["WTMU"]),
+        nf=int(d["NF"]), nphi=int(d["NPHI"]),
+    )
+    nwave = d["vwaves"].shape[0]
+    f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)  # noqa: E731
+    f = f32(d["f"])[:, None, None, None]
+    g1 = f32(d["g1"])[:, None, None, None]
+    g2 = f32(d["g2"])[:, None, None, None]
+    phase_fns = [lambda c: henyey_greenstein2(c[None], f, g1, g2)]
+    brdf = np.zeros((nwave, quad.nmu, quad.nmu, quad.nf + 1))
+    brdf[..., 0] = 0.3 / np.pi
+
+    rad = scloud11wave(
+        quad, phase_fns,
+        radg=f32(d["radg"]),
+        sol_ang=f32(d["SOL_ANGS"]),
+        emiss_ang=f32(d["EMISS_ANGS"]),
+        azi_ang=f32(d["APHIS"]),
+        solar=f32(d["solar"]),
+        bnu=f32(d["bnu"]),
+        taus=f32(d["taus"]),
+        tauray=f32(d["tauray"]),
+        tauscat=f32(d["tauscat_aero"]),
+        lfrac=f32(d["lfrac"]),
+        iray=True,
+        brdf_matrix=f32(brdf),
+    )
+    assert rad.dtype == jnp.float32
+    want = d["RAD_surface_sun"]
+    np.testing.assert_allclose(
+        np.asarray(rad), want, rtol=5e-4,
+        atol=np.abs(want).max() * 1e-4,
+    )
+
+    # jacfwd flows through the rows ladder (forward-mode, traced bound)
+    def loss(ts):
+        return scloud11wave(
+            quad, phase_fns, f32(d["radg"]), f32(d["SOL_ANGS"]),
+            f32(d["EMISS_ANGS"]), f32(d["APHIS"]), f32(d["solar"]),
+            f32(d["bnu"]), ts, f32(d["tauray"]), f32(d["tauscat_aero"]),
+            f32(d["lfrac"]), True, f32(brdf),
+        ).sum()
+
+    g = jax.jacfwd(loss)(f32(d["taus"]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_tiled_matches_untiled(d):
     """Wave-tiled driver == untiled core, including a tile size that does
     NOT divide nwave (padding lanes must be inert) and a BRDF bottom

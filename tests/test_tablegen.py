@@ -133,3 +133,22 @@ def test_generate_ktable_chunked_matches(ll):
             np.log(k_g), np.log(ref.k), rtol=0, atol=2e-2,
             err_msg=f"n_chunks={n_chunks}",
         )
+
+
+def test_generate_ktable_chunked_device_fanout(ll):
+    """Round-robin device fan-out (one in-flight chunk per mesh device,
+    async dispatch, rebin as results land) is bit-identical to the
+    sequential path — placement must not change numerics."""
+    import jax
+
+    from archnemesis_tpu.ops.tablegen import generate_ktable_chunked
+
+    ref = read_kta(f"{FIX}/co_ref.kta")
+    kw = dict(
+        press_atm=ref.press, temp=ref.temp, wave=ref.wave,
+        ng=ref.g_ord.size, n_chunks=4, amb_frac=0.9,
+        wn_calc_window=5.0, wn_approx_window=10.0,
+    )
+    k_seq, _, _ = generate_ktable_chunked(ll, **kw)
+    k_fan, _, _ = generate_ktable_chunked(ll, devices=jax.devices(), **kw)
+    np.testing.assert_array_equal(k_fan, k_seq)
