@@ -35,6 +35,10 @@ class KTables:
     press: Any  # (NPRESS,) [atm]
     temp: Any  # (NTEMP,) [K]
     k: Any  # (NGAS, NWAVE, NG, NPRESS, NTEMP) [cm^2]
+    # host-precomputed f64 log of k (ops.ktab.host_log_ktable), attached
+    # by cast_deck on the f32 path so the device never evaluates the
+    # ~28-ulp TPU f32 log intrinsic on table values
+    logk: Any = None
 
     fwhm: float = static_field(default=0.0)
     gas_id: Tuple[int, ...] = static_field(default=())
@@ -237,6 +241,19 @@ def cast_deck(obj, dtype=np.float32):
 
     obj = jax.tree_util.tree_map(
         fix_cia, obj, is_leaf=lambda x: isinstance(x, CIATables)
+    )
+
+    def fix_ktab(x):
+        # attach the host-f64 log table BEFORE the k cast truncates it
+        if (isinstance(x, KTables) and dtype.itemsize < 8
+                and x.logk is None):
+            from archnemesis_tpu.ops.ktab import host_log_ktable
+
+            return x.replace(logk=host_log_ktable(x.k))
+        return x
+
+    obj = jax.tree_util.tree_map(
+        fix_ktab, obj, is_leaf=lambda x: isinstance(x, KTables)
     )
 
     def cast(x):

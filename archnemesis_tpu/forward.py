@@ -303,13 +303,13 @@ def layer_optical_depths(
             taugas = taugas + k_i * amounts[i][None, :]
         taugas = taugas[:, None, :]  # NG=1 axis
     elif ktab.ilbl == SpectralCalculationMode.LINE_BY_LINE_TABLES:
-        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
+        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp, logk=getattr(ktab, "logk", None))
         # monochromatic: plain sum over gases, NG=1
         # (reference ForwardModel_0.py:3796-3818)
         taugas = jnp.einsum("wglr,rl->wgl", k_gas, amounts)
     else:
         # correlated-k random overlap (ForwardModel_0.py:3853-3885)
-        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp)
+        k_gas = interp_ktables(ktab.k, ktab.press, ktab.temp, press_atm, layers.temp, logk=getattr(ktab, "logk", None))
         taugas = mix_gas_k(
             cfg.del_g_np, k_gas, amounts, nstraddle=cfg.nstraddle
         )

@@ -14,6 +14,7 @@ Reference semantics preserved exactly:
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bracket(grid, x):
@@ -26,7 +27,33 @@ def _bracket(grid, x):
     return lo, hi, jnp.clip(f, 0.0, 1.0)
 
 
-def interp_ktables(k, press_grid, temp_grid, press, temp):
+LOG_POS_THRESH = -8.0e8  # sentinel cut: host logk stores -1e9 where k <= 0
+
+
+def host_log_ktable(k64):
+    """Host-side f64 log of a k-table for the float32 device path.
+
+    The TPU f32 ``log`` intrinsic is good to only ~28 ulp (measured,
+    BASELINE.md): at |log k| ~ 50 that is ~1e-4 ABSOLUTE in log space,
+    which ``exp`` turns into ~1e-4 relative k error — the dominant term
+    of the r4 TPU-f32 deck residual (3e-4). The table is static, so its
+    logs can be taken once on the host in f64 and stored (correct to the
+    0.5-ulp f32 rounding of the stored value, ~4e-6 absolute): the TPU
+    log disappears from the hot path entirely.
+
+    k <= 0 entries get a -1e9 sentinel (the positivity mask survives the
+    encoding); 0 < k < f32-tiny clamps to log(tiny), as the device-side
+    ``log(max(k, tiny))`` did.
+    """
+    k64 = np.asarray(k64, np.float64)
+    tiny = float(np.finfo(np.float32).tiny)
+    out = np.where(
+        k64 > 0.0, np.log(np.maximum(k64, tiny)), -1.0e9
+    )
+    return out.astype(np.float32)
+
+
+def interp_ktables(k, press_grid, temp_grid, press, temp, logk=None):
     """Interpolate k-tables to layer pressure/temperature points.
 
     Parameters
@@ -36,6 +63,12 @@ def interp_ktables(k, press_grid, temp_grid, press, temp):
     temp_grid : (NT,) table temperatures [K]
     press : (NLAY,) layer pressures [atm]
     temp : (NLAY,) layer temperatures [K]
+    logk : optional (NGAS, NWAVE, NG, NP, NT) HOST-precomputed
+        ``host_log_ktable`` values. When given, the corner gathers read
+        the log table instead of k and no device ``log`` is evaluated —
+        the f32/TPU accuracy path. One semantic difference from the
+        k-path: regions where all 4 corners are <= 0 return exactly 0
+        instead of the (non-physical, <= 0) raw bilinear value.
 
     Returns
     -------
@@ -45,6 +78,24 @@ def interp_ktables(k, press_grid, temp_grid, press, temp):
     lgrid = jnp.log(jnp.asarray(press_grid))
     ipl, iphi, v = _bracket(lgrid, jnp.log(press))  # (NLAY,)
     itl, ithi, u = _bracket(temp_grid, temp)  # (NLAY,)
+
+    if logk is not None:
+        lk = jnp.asarray(logk)
+        l11 = lk[:, :, :, ipl, itl]
+        l12 = lk[:, :, :, ipl, ithi]
+        l21 = lk[:, :, :, iphi, itl]
+        l22 = lk[:, :, :, iphi, ithi]
+        w11 = (1.0 - v) * (1.0 - u)
+        w21 = v * (1.0 - u)
+        w22 = v * u
+        w12 = (1.0 - v) * u
+        loglin = w11 * l11 + w21 * l21 + w22 * l22 + w12 * l12
+        all_pos = (
+            (l11 > LOG_POS_THRESH) & (l12 > LOG_POS_THRESH)
+            & (l21 > LOG_POS_THRESH) & (l22 > LOG_POS_THRESH)
+        )
+        out = jnp.where(all_pos, jnp.exp(loglin), 0.0)
+        return jnp.moveaxis(out, 0, -1)
 
     # corner gathers -> (NGAS, NWAVE, NG, NLAY)
     klo1 = k[:, :, :, ipl, itl]

@@ -46,4 +46,9 @@ def shard_ktables_by_wave(ktab, mesh: Mesh):
     """
     k_sh = jax.device_put(ktab.k, shard_spec(mesh, None, "wave"))
     wave_sh = jax.device_put(ktab.wave, shard_spec(mesh, "wave"))
-    return ktab.replace(k=k_sh, wave=wave_sh)
+    extra = {}
+    if getattr(ktab, "logk", None) is not None:
+        extra["logk"] = jax.device_put(
+            ktab.logk, shard_spec(mesh, None, "wave")
+        )
+    return ktab.replace(k=k_sh, wave=wave_sh, **extra)

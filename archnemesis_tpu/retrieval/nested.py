@@ -251,6 +251,7 @@ def run_setup_ns(
     seed: int = 0,
     verbose: bool = False,
     sigma_floor: float = 1e-5,
+    **ns_kwargs,
 ):
     """Nested sampling over an already-built RetrievalSetup (any geometry
     driver: nadir/SO/disc/transit). Factored out so retrieval_nemesis can
@@ -280,4 +281,5 @@ def run_setup_ns(
         evidence_tolerance=evidence_tolerance,
         seed=seed,
         verbose=verbose,
+        **ns_kwargs,
     )

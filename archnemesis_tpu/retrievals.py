@@ -77,7 +77,10 @@ def _windowed_ktab(deck: Deck, wavemin, wavemax, pad_multiple: int = 1) -> KTabl
                 f"k-table grid too small to pad window to a multiple of "
                 f"{pad_multiple}")
     sel = slice(iwl, iwh + 1)
-    return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel])
+    extra = {}
+    if getattr(kt, "logk", None) is not None:
+        extra["logk"] = np.asarray(kt.logk)[:, sel]
+    return kt.replace(wave=wave[sel], k=np.asarray(kt.k)[:, sel], **extra)
 
 
 def cast_deck_components(deck: Deck, dtype) -> Deck:
