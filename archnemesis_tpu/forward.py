@@ -75,13 +75,14 @@ class ForwardConfig:
     ico2: int = -1
     in2: int = -1
     ih2: int = -1
-    # multiple-scattering wave-tile size: the adding-doubling core keeps
-    # (nc, nwave, ng, nlay, nmu, nmu) R/T/J stacks live, so production
-    # grids are lax.map'ed over tiles of this many waves (live HBM is
-    # bounded by the tile; the reference's analog is its per-wave Python
-    # loop, Multiple_Scattering_Core.py:790).  Grids <= the tile run
-    # untiled.
-    scat_wave_tile: int = 256
+    # multiple-scattering wave-tile size: production grids are
+    # lax.map'ed over tiles of this many waves (live memory bounded by
+    # the tile; the reference's analog is its per-wave Python loop,
+    # Multiple_Scattering_Core.py:790).  128 measured fastest on the
+    # v5e (16.6k vs 12.5k gp/s at 256 — the tile working set stays
+    # core-resident; BASELINE.md r5 scattering table).  Grids <= the
+    # tile run untiled.
+    scat_wave_tile: int = 128
 
     @property
     def del_g_np(self):

@@ -105,6 +105,29 @@ def cast_deck_components(deck: Deck, dtype) -> Deck:
     return dataclasses.replace(deck, **casted)
 
 
+def _attach_logk(deck: Deck) -> Deck:
+    """Attach the host-f64 log-k table for float32 runs.
+
+    A run on a non-x64 backend is a float32 run even without an explicit
+    cast (jnp truncates at trace time): the f32 device path must never
+    evaluate the ~28-ulp TPU log intrinsic on table values
+    (ops.ktab.host_log_ktable; BASELINE.md r5 transcendental section)."""
+    import dataclasses
+
+    if (isinstance(deck.ktables, KTables)
+            and getattr(deck.ktables, "logk", None) is None
+            and not jax.config.jax_enable_x64):
+        from archnemesis_tpu.ops.ktab import host_log_ktable
+
+        deck = dataclasses.replace(
+            deck,
+            ktables=deck.ktables.replace(
+                logk=host_log_ktable(deck.ktables.k)
+            ),
+        )
+    return deck
+
+
 def make_retrieval_setup(
     deck_dir: str, runname: str, atm_override=None, sv_override=None,
     wave_pad_multiple: int = 1, ktab_transform=None, cast_dtype=None,
@@ -129,6 +152,7 @@ def make_retrieval_setup(
         deck = dataclasses.replace(deck, atmosphere=atm_override)
     if cast_dtype is not None:
         deck = cast_deck_components(deck, cast_dtype)
+    deck = _attach_logk(deck)
     st = deck.settings
     iscat = ScatteringCalculationMode(deck.settings.iscat)
     if iscat not in (
@@ -521,6 +545,7 @@ def make_retrieval_setup_so(
         deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    deck = _attach_logk(deck)
     st = deck.settings
     geom = deck.geometry
     if geom.tanhe is None:
@@ -673,6 +698,7 @@ def make_retrieval_setup_limb(
         deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    deck = _attach_logk(deck)
     st = deck.settings
     geom = deck.geometry
     if geom.tanhe is None:
@@ -827,6 +853,7 @@ def make_retrieval_setup_c(
         deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    deck = _attach_logk(deck)
     st = deck.settings
     geom = deck.geometry
     if ScatteringCalculationMode(st.iscat) != (
@@ -977,6 +1004,7 @@ def make_retrieval_setup_transit(
         deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    deck = _attach_logk(deck)
     st = deck.settings
     if st.iform != SpectraUnit.TransitDepth:
         raise ValueError(
@@ -1075,6 +1103,7 @@ def make_retrieval_setup_disc(
     deck = load_deck(deck_dir, runname)
     if atm_override is not None:
         deck = dataclasses.replace(deck, atmosphere=atm_override)
+    deck = _attach_logk(deck)
     st = deck.settings
     geom = deck.geometry
     sv = (sv_override if sv_override is not None

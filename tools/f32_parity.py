@@ -46,7 +46,7 @@ def case_jupiter_nadir():
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
     s = make_retrieval_setup("tests/fixtures/jupiter_nadir", "cirstest",
                              cast_dtype=dtype)
-    yn = np.asarray(s.forward_fn(jnp.asarray(np.asarray(d["XN"]))))
+    yn = np.asarray(jax.jit(s.forward_fn)(jnp.asarray(np.asarray(d["XN"]))))
     return yn, np.asarray(d["YN"])
 
 
@@ -57,7 +57,8 @@ def case_co_runtime():
 
     d = np.load("tests/goldens/co_runtime_fm.npz")
     s = make_retrieval_setup("tests/fixtures/co_runtime", "cirstest")
-    yn = np.asarray(s.forward_fn(jnp.asarray(s.sv.xa)))
+    import jax
+    yn = np.asarray(jax.jit(s.forward_fn)(jnp.asarray(s.sv.xa)))
     nconv = int(d["NCONV"][0])
     return yn, np.asarray(d["SPECONV"][:nconv, 0])
 
@@ -68,7 +69,8 @@ def case_mars_so():
     from archnemesis_tpu.retrievals import make_retrieval_setup_so
 
     s = make_retrieval_setup_so("tests/fixtures/mars_so", "mars_solocc")
-    yn = np.asarray(s.forward_fn(jnp.asarray(s.sv.xa)))
+    import jax
+    yn = np.asarray(jax.jit(s.forward_fn)(jnp.asarray(s.sv.xa)))
     return yn, None
 
 

@@ -118,5 +118,51 @@ def main():
           f"{model*1e3:.0f} ms vs measured {dt*1e3:.0f} ms", flush=True)
 
 
+def rows_core_profile():
+    """Measure the struct-of-arrays f32 core at the bench tile shape and
+    place it against the VPU roofline (flop model in BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from archnemesis_tpu.rt.scattering import (
+        ScatterQuadrature, henyey_greenstein2, scloud11wave,
+    )
+
+    nc_nf, nwave, ng, nlay, nmu = 2, 256, 10, 39, 5
+    rng = np.random.default_rng(1)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    mu, wt = np.polynomial.legendre.leggauss(2 * nmu)
+    sel = mu > 0
+    quad = ScatterQuadrature(mu=tuple(mu[sel]), wtmu=tuple(wt[sel]),
+                             nf=nc_nf, nphi=100)
+    f = f32(np.full((nwave, 1), 0.7))[:, :, None, None]
+    g1 = f32(np.full((nwave, 1), 0.6))[:, :, None, None]
+    g2 = f32(np.full((nwave, 1), -0.3))[:, :, None, None]
+    pf = [lambda c: henyey_greenstein2(c[None], f[:, 0], g1[:, 0], g2[:, 0])]
+    taus = f32(10.0 ** rng.uniform(-3, 1, (nwave, ng, nlay)))
+    tauray = f32(10.0 ** rng.uniform(-4, -1, (nwave, nlay)))
+    tausca = f32(10.0 ** rng.uniform(-3, 0, (nwave, nlay)))
+    lfrac = f32(np.ones((nwave, 1, nlay)))
+    fn = jax.jit(lambda t: scloud11wave(
+        quad, pf, f32(np.zeros((nwave, nmu))),
+        f32([45.0]), f32([30.0]), f32([60.0]),
+        f32(np.full(nwave, 1e15)), f32(np.full((nwave, nlay), 1e-8)),
+        t, tauray, tausca, lfrac, True, None,
+    ))
+    dt = timeit(fn, taus)
+    nc = nc_nf + 1
+    B = nc * nwave * ng * nlay
+    F = nc * nwave * ng
+    n_iter = 20  # typical max doubling count at these taus
+    flop = B * n_iter * 1800 + F * nlay * 1800
+    print(f"rows core f32 tile ({nwave} waves): {dt*1e3:.1f} ms  "
+          f"{nwave/dt:.0f} gp/s  model {flop/1e9:.1f} Gflop -> "
+          f"{flop/dt/1e12:.2f} Tflop/s = "
+          f"{flop/dt/1.13e12*100:.0f}% of VPU peak", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--aos" in _s.argv:
+        main()
+    rows_core_profile()
