@@ -163,11 +163,24 @@ def cia_tau(
     totam_cm2 = totam * 1.0e-4
     xlen_cm = delh * 1.0e2
     xfac_scaled = (totam_cm2 / half_scale) ** 2 / xlen_cm
+    # Alternate the residual's half-steps between the two non-constant
+    # factors: a chain of constant multiplies on ONE operand is
+    # reassociated by XLA's algebraic simplifier into a single folded
+    # constant, and 2^67 * 2^67 = 2^134 overflows f32 to inf under jit
+    # (0 * inf = NaN) even though the stepwise eager product is exact.
+    # Power-of-two steps are exact in f64 either way (bit-identical).
+    steps = []
     while residual > 1.0:
         step = min(residual, half_scale)
-        sum_pairs = sum_pairs * step
+        steps.append(step)
         residual /= step
-    tau = sum_pairs * xfac_scaled[None, :]
+    xfac_pairs = xfac_scaled  # band add-ons below must NOT see the steps
+    for i, step in enumerate(steps):
+        if i % 2 == 0:
+            sum_pairs = sum_pairs * step
+        else:
+            xfac_pairs = xfac_pairs * step
+    tau = sum_pairs * xfac_pairs[None, :]
 
     # --- analytic NIR band add-ons (T-independent, ForwardModel_0.py:4752-4770);
     # curves enter pre-scaled by 2**134 so they survive float32

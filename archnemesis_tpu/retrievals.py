@@ -106,25 +106,38 @@ def cast_deck_components(deck: Deck, dtype) -> Deck:
 
 
 def _attach_logk(deck: Deck) -> Deck:
-    """Attach the host-f64 log-k table for float32 runs.
+    """Host-f64 preparation of table data for float32 runs.
 
     A run on a non-x64 backend is a float32 run even without an explicit
-    cast (jnp truncates at trace time): the f32 device path must never
-    evaluate the ~28-ulp TPU log intrinsic on table values
-    (ops.ktab.host_log_ktable; BASELINE.md r5 transcendental section)."""
+    cast (jnp truncates at trace time), so two table fixes that cast_deck
+    applies must also happen here:
+
+    - attach the host-computed log-k table — the f32 device path must
+      never evaluate the ~28-ulp TPU log intrinsic on table values
+      (ops.ktab.host_log_ktable; BASELINE.md r5 transcendental section);
+    - prescale the CIA table by its 2**134 balance factor — the raw
+      ~1e-45 cm^5 values are SUBNORMAL in f32 (flushed to zero on TPU,
+      silently removing all CIA opacity), and the unscaled path's
+      residual 2**67-step rescue multiplies are constant-folded by XLA's
+      algebraic simplifier into a single 2**134 f32 constant = inf,
+      turning the whole spectrum into 0*inf = NaN under jit (finite —
+      but CIA-less — when run eagerly, which is how this went unseen
+      until r5)."""
     import dataclasses
 
-    if (isinstance(deck.ktables, KTables)
-            and getattr(deck.ktables, "logk", None) is None
-            and not jax.config.jax_enable_x64):
-        from archnemesis_tpu.ops.ktab import host_log_ktable
+    if not jax.config.jax_enable_x64:
+        if (isinstance(deck.ktables, KTables)
+                and getattr(deck.ktables, "logk", None) is None):
+            from archnemesis_tpu.ops.ktab import host_log_ktable
 
-        deck = dataclasses.replace(
-            deck,
-            ktables=deck.ktables.replace(
-                logk=host_log_ktable(deck.ktables.k)
-            ),
-        )
+            deck = dataclasses.replace(
+                deck,
+                ktables=deck.ktables.replace(
+                    logk=host_log_ktable(deck.ktables.k)
+                ),
+            )
+        if deck.cia is not None:
+            deck = dataclasses.replace(deck, cia=deck.cia.prescale())
     return deck
 
 

@@ -11,10 +11,12 @@ driver-defined kernels (BASELINE.json: "LBL + scattering"):
   resolution, ~15k lines, 40 layers;
 - ``scattering_gridpoints_per_s``: nadir multiple-scattering forward
   (adding–doubling core, NMU=5, NF=2, HG aerosol + Rayleigh + solar)
-  at 2048 waves x 10 g x 39 layers, wave-tiled (lax.map over 256-wave
-  tiles, rt/scattering.scloud11wave_tiled) so the (nwave, ng, nlay,
-  nmu, nmu) R/T/J stacks stay within the v5e's 16G HBM — the
-  production path for LBL-resolution scattering grids.
+  at 2048 waves x 10 g x 39 layers, wave-tiled (lax.map over 128-wave
+  tiles, rt/scattering.scloud11wave_tiled) so the per-tile working set
+  stays core-resident (measured optimum, BASELINE.md) — the production
+  path for LBL-resolution scattering grids;
+- ``retrieval_wallclock_s``: full OE retrieval (3 LM iterations, jacfwd
+  Jacobians) on the real reduced Jupiter deck, incl. parse + compile.
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -131,6 +133,33 @@ def bench_lbl():
     atm = jax.device_put(atm)
     dt = _time_reps(fwd, (atm,))
     return nwave / dt, dict(nwave=nwave, nlines=int(ll.nu.size), nlay=nlay)
+
+
+def bench_retrieval():
+    """Full OE retrieval wall-clock on the real (reduced) Jupiter CIRS
+    nadir deck (tests/fixtures/jupiter_fdret): make_retrieval_setup +
+    3 LM iterations with a fresh jacfwd Jacobian each — the reference's
+    coreretOE workload (OptimalEstimation_0.py:1173).  Wall-clock INCLUDES
+    deck parsing and XLA compile (a user's single-retrieval latency); the
+    per-iteration rate after compile is what amortizes over survey-scale
+    retrieval batches."""
+    import shutil
+    import tempfile
+
+    from archnemesis_tpu.retrievals import run_retrieval
+
+    tmp = tempfile.mkdtemp(prefix="benchret_")
+    try:
+        deck = f"{tmp}/deck"
+        shutil.copytree("tests/fixtures/jupiter_fdret", deck)
+        shutil.copytree("tests/fixtures/ktables", f"{tmp}/ktables")
+        t0 = time.perf_counter()
+        _, res = run_retrieval(deck, "cirstest", niter=3, philimit=0.001)
+        wall = time.perf_counter() - t0
+        assert np.isfinite(float(res.phi)), "non-finite phi"
+        return wall, int(res.n_iter)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def bench_scattering(atm, ktab10, laycfg_headline, surf):
@@ -311,7 +340,7 @@ def main():
     _log(f"lbl done: {lbl_gps:.0f} gp/s")
 
     # production shape: 2048 waves through the wave-tiled driver (lax.map
-    # over cfg.scat_wave_tile=256-wave tiles keeps the live R/T/J stacks
+    # over cfg.scat_wave_tile=128-wave tiles keeps the live R/T/J stacks
     # at tile size; untiled 2048 waves needs 32G on a 16G v5e)
     ng_s, nwave_s = 10, 2048
     xs, ws = np.polynomial.legendre.leggauss(ng_s)
@@ -334,6 +363,17 @@ def main():
     scat_gps, scat_shape = bench_scattering(atm_s, ktab10, laycfg, surf)
     _log(f"scattering done: {scat_gps:.0f} gp/s")
 
+    # third driver metric: retrieval wall-clock (real reduced Jupiter deck,
+    # 3 LM iterations, fresh jacfwd K each, incl. deck parse + compile)
+    _log("retrieval wall-clock stage")
+    jax.clear_caches()
+    try:
+        ret_wall, ret_iters = bench_retrieval()
+        _log(f"retrieval done: {ret_wall:.1f} s / {ret_iters} iterations")
+    except Exception as e:  # keep the three kernel metrics if this breaks
+        _log(f"retrieval stage failed: {e!r}")
+        ret_wall, ret_iters = None, None
+
     print(
         json.dumps(
             {
@@ -347,6 +387,11 @@ def main():
                 "lbl_shape": lbl_shape,
                 "scattering_gridpoints_per_s": round(scat_gps, 1),
                 "scattering_shape": scat_shape,
+                "fm_evals_per_s": round(1.0 / dt, 3),
+                "retrieval_wallclock_s": (
+                    None if ret_wall is None else round(ret_wall, 1)
+                ),
+                "retrieval_iterations": ret_iters,
             }
         )
     )

@@ -131,3 +131,79 @@ def test_cia_tau_f32_prescaled_matches_f64():
     np.testing.assert_allclose(got, ref, rtol=5e-6)
     # prescale is exact in f64: bit-identical to the raw path
     np.testing.assert_array_equal(run(cia.prescale(), jnp.float64), ref)
+
+
+def test_cia_tau_f32_unscaled_jit_stays_finite():
+    """Regression (r5): with an UNSCALED table in f32, cia_tau's rescue
+    multiplies (2**67 half-steps) used to sit as a constant chain on one
+    operand; XLA's algebraic simplifier folded them into a single 2**134
+    f32 constant = inf, so the jitted spectrum became 0 * inf = NaN while
+    the eager product stayed finite.  The steps now alternate between the
+    two non-constant factors, which the simplifier cannot fold.  (The
+    production fix is the automatic prescale — see
+    test_attach_logk_prescales_cia_for_f32 — but partially-scaled tables
+    must degrade to zero-CIA, never to NaN.)"""
+    import jax
+
+    rng = np.random.default_rng(11)
+    nlay, nw = 4, 32
+    cia = CIATables(
+        waven=np.linspace(10.0, 2000.0, 16),
+        temp=np.array([50.0, 400.0]),
+        frac=np.array([0.25]),
+        k_cia=rng.uniform(0.2e-45, 5e-45, (1, 1, 2, 16)),
+        pair_gas1=(39,), pair_gas2=(39,), inormalt=(None,),
+        npara=0, inormal=ParaH2Ratio.EQUILIBRIUM,
+    )
+    wave = np.linspace(200.0, 1500.0, nw)
+    temp = rng.uniform(80.0, 350.0, nlay)
+    q = np.full((nlay, 1), 0.86)
+    totam = rng.uniform(1e28, 1e30, nlay)
+    delh = rng.uniform(1e3, 1e4, nlay)
+
+    def f32_run(k32):
+        # k_scale=1.0 (unscaled) with an f32 table: subnormal quantization
+        c = cia.replace(k_cia=k32)
+        return cia_tau(
+            c, jnp.asarray(wave, jnp.float32),
+            jnp.asarray(temp, jnp.float32),
+            jnp.zeros(nlay, jnp.float32),
+            jnp.asarray(q, jnp.float32),
+            jnp.asarray(totam, jnp.float32),
+            jnp.asarray(delh, jnp.float32),
+            ispace=WaveUnit.Wavenumber_cm,
+            pair_q1_idx=np.array([0]), pair_q2_idx=np.array([0]),
+            pair_active=np.array([1.0]),
+        )
+
+    k32 = jnp.asarray(cia.k_cia, jnp.float32)
+    out = np.asarray(jax.jit(f32_run)(k32))
+    assert np.isfinite(out).all(), "jitted unscaled-f32 CIA went non-finite"
+
+
+def test_attach_logk_prescales_cia_for_f32():
+    """_attach_logk is every setup builder's f32 preparation hook: under a
+    non-x64 config it must BOTH attach the host-f64 log-k table and
+    prescale the CIA table (raw ~1e-45 cm^5 values are subnormal in f32 —
+    without the prescale a TPU run silently loses all CIA opacity, and
+    the jitted rescue path NaNs; found live in r5 via bench_retrieval)."""
+    import jax
+
+    from archnemesis_tpu.io.legacy import load_deck
+    from archnemesis_tpu.retrievals import _attach_logk
+
+    deck = load_deck("tests/fixtures/jupiter_fdret", "cirstest")
+    assert deck.cia is not None and deck.cia.k_scale == 1.0
+
+    # x64 runs leave the deck untouched (f64 path is the parity oracle)
+    out64 = _attach_logk(deck)
+    assert out64.cia.k_scale == 1.0
+
+    jax.config.update("jax_enable_x64", False)
+    try:
+        out32 = _attach_logk(deck)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+    assert out32.cia.k_scale == 2.0**134
+    assert np.isfinite(np.asarray(out32.cia.k_cia)).all()
+    assert getattr(out32.ktables, "logk", None) is not None
