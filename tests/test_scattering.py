@@ -173,3 +173,52 @@ def test_tiled_matches_untiled(d):
         np.asarray(got), np.asarray(ref), rtol=1e-12, atol=0
     )
     assert np.all(np.isfinite(np.asarray(got)))
+
+
+def test_f32_high_order_quadrature_uses_aos_and_matches_f64():
+    """NMU above ROWS_NMU_MAX routes float32 through the AoS body: the
+    rows core's trace-time nmu^3 unrolling makes its compile cost
+    prohibitive at very high quadrature order, while the AoS padding
+    waste shrinks as (8*128)/nmu^2 (v5e A/B in BASELINE.md; real decks
+    run NMU=10-21, reference .set Files.py:1269 — 10 stays on rows, the
+    34x-faster core).  The f32-AoS result must track f64 to ladder
+    accumulation accuracy."""
+    from archnemesis_tpu.rt import scattering as sc
+
+    nmu = sc.ROWS_NMU_MAX + 1
+    rng = np.random.default_rng(0)
+    nf, nwave, ng, nlay = 2, 4, 2, 6
+    mu, wt = np.polynomial.legendre.leggauss(2 * nmu)
+    sel = mu > 0
+    quad = ScatterQuadrature(
+        mu=tuple(mu[sel]), wtmu=tuple(wt[sel]), nf=nf, nphi=100
+    )
+    f = rng.uniform(0.3, 0.9, nwave)[:, None, None, None]
+    g1 = np.full((nwave, 1, 1, 1), 0.6)
+    g2 = np.full((nwave, 1, 1, 1), -0.3)
+    taus = 10.0 ** rng.uniform(-3, 0.8, (nwave, ng, nlay))
+    tausc = np.min(taus, axis=1) * rng.uniform(0.2, 0.7, (nwave, nlay))
+    tauray = 0.1 * tausc
+    lfrac = np.ones((nwave, 1, nlay))
+    bnu = rng.uniform(1e-9, 1e-7, (nwave, nlay))
+    radg = rng.uniform(0, 1e-8, (nwave, nmu))
+    solar = np.full(nwave, 1e-5)
+    ang = dict(sol_ang=jnp.asarray([30.0, 45.0]),
+               emiss_ang=jnp.asarray([20.0, 0.0]),
+               azi_ang=jnp.asarray([60.0, 0.0]))
+
+    def run(dt):
+        pf = [lambda c: henyey_greenstein2(
+            c[None], jnp.asarray(f, dt), jnp.asarray(g1, dt),
+            jnp.asarray(g2, dt))]
+        return np.asarray(scloud11wave(
+            quad, pf, radg=jnp.asarray(radg, dt),
+            solar=jnp.asarray(solar, dt), bnu=jnp.asarray(bnu, dt),
+            taus=jnp.asarray(taus, dt), tauray=jnp.asarray(tauray, dt),
+            tauscat=jnp.asarray(tausc, dt), lfrac=jnp.asarray(lfrac, dt),
+            iray=True, **ang))
+
+    r64 = run(jnp.float64)
+    r32 = run(jnp.float32)
+    rel = np.abs(r32.astype(np.float64) - r64) / np.abs(r64).max()
+    assert rel.max() < 5e-4, rel.max()
