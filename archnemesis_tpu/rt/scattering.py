@@ -36,19 +36,20 @@ import numpy as np
 # the initial thin layer stops getting thinner (reference ipow0 = 12).
 NN_MAX = 35
 
-# Largest quadrature order routed to the struct-of-arrays f32 core. The
-# rows core unrolls the nmu x nmu algebra at trace time (~nmu^3 scalar
-# HLOs per primitive), so compile cost grows steeply with order — but it
-# wins on BOTH speed and reliability across the reference's real-deck
+# float32 always routes to the struct-of-arrays (rows) core: it wins on
+# BOTH speed and reliability across the reference's real-deck quadrature
 # range (NMU=10-21, .set Files.py:1269). Measured on the v5e at 2048
 # waves (tools/bench_scattering_nmu.py, BASELINE.md):
 #   nmu=10: rows 1235 gp/s / 315 s compile vs AoS 36 gp/s / 114 s
 #   nmu=15: rows  280 gp/s / 26 min compile; AoS f32 CRASHES the TPU
 #           worker (tiles 128 and 32) — rows is the only working core.
-# One Jacobian pass repays the compile delta; above 21 f32 falls back to
-# the AoS body (f64 always keeps AoS — its LAPACK-ordering oracle-parity
-# contract).
-ROWS_NMU_MAX = 21
+# The rows core unrolls the nmu x nmu algebra at trace time (~nmu^3
+# scalar HLOs per primitive), so compile cost grows steeply with order;
+# one Jacobian pass repays it, and the compiled program is cached.
+# Lower this threshold to force the f32 AoS body instead (diagnostics /
+# A/B tooling only — see tools/bench_scattering_nmu.py). float64 always
+# keeps AoS: its LAPACK-ordering oracle-parity contract.
+ROWS_NMU_MAX = 10**9
 
 
 @dataclass(frozen=True)
@@ -942,10 +943,11 @@ def _scloud11wave_core(
 
     The rows path unrolls the nmu x nmu algebra into ~nmu^3 scalar-HLO
     ops per primitive at trace time, so its compile cost grows steeply
-    with quadrature order (measured: seconds at NMU=5, ~6 min host
-    compile at NMU=10); above ROWS_NMU_MAX the f32 path keeps the AoS
-    body, whose (8,128)-tile padding waste also shrinks as nmu grows
-    ((8*128)/nmu^2: 41x at nmu=5, 10x at nmu=10 — A/B in BASELINE.md).
+    with quadrature order (measured: seconds at NMU=5, ~5 min at NMU=10,
+    ~26 min at NMU=15) — but it is both much faster steady-state AND the
+    only f32 core that runs at high order on the v5e (the AoS f32 body
+    crashes the TPU worker at NMU=15; BASELINE.md A/B), so f32 always
+    takes it. ROWS_NMU_MAX exists as a diagnostics escape hatch.
     """
     if taus.dtype == jnp.float32 and quad.nmu <= ROWS_NMU_MAX:
         return _scloud11wave_core_rows(

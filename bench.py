@@ -16,7 +16,9 @@ driver-defined kernels (BASELINE.json: "LBL + scattering"):
   stays core-resident (measured optimum, BASELINE.md) — the production
   path for LBL-resolution scattering grids;
 - ``retrieval_wallclock_s``: full OE retrieval (3 LM iterations, jacfwd
-  Jacobians) on the real reduced Jupiter deck, incl. parse + compile.
+  Jacobians) on the real reduced Jupiter deck, incl. parse + compile;
+- ``fm_evals_per_s``: the headline workload as a whole-forward rate
+  (one eval = one full 8192-wave correlated-k nadir forward).
 
 vs_baseline: ratio to the reference implementation's throughput on this
 machine's CPU. The reference is pure Python+numba; numba is unavailable in
@@ -383,11 +385,13 @@ def main():
                 "vs_baseline": round(
                     gridpoints_per_s / BASELINE_GRIDPOINTS_PER_S_CPU, 2
                 ),
+                # same headline workload expressed as whole-forward rate
+                # (one eval = the full 8192-wave correlated-k forward)
+                "fm_evals_per_s": round(1.0 / dt, 3),
                 "lbl_gridpoints_per_s": round(lbl_gps, 1),
                 "lbl_shape": lbl_shape,
                 "scattering_gridpoints_per_s": round(scat_gps, 1),
                 "scattering_shape": scat_shape,
-                "fm_evals_per_s": round(1.0 / dt, 3),
                 "retrieval_wallclock_s": (
                     None if ret_wall is None else round(ret_wall, 1)
                 ),

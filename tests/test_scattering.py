@@ -175,17 +175,16 @@ def test_tiled_matches_untiled(d):
     assert np.all(np.isfinite(np.asarray(got)))
 
 
-def test_f32_high_order_quadrature_uses_aos_and_matches_f64():
-    """NMU above ROWS_NMU_MAX routes float32 through the AoS body: the
-    rows core's trace-time nmu^3 unrolling makes its compile cost
-    prohibitive at very high quadrature order, while the AoS padding
-    waste shrinks as (8*128)/nmu^2 (v5e A/B in BASELINE.md; real decks
-    run NMU=10-21, reference .set Files.py:1269 — 10 stays on rows, the
-    34x-faster core).  The f32-AoS result must track f64 to ladder
-    accumulation accuracy."""
+def test_f32_aos_body_matches_f64_at_deck_order(monkeypatch):
+    """The f32 AoS body (reachable via the ROWS_NMU_MAX diagnostics
+    escape hatch — production f32 always takes the rows core, which is
+    34x faster at NMU=10 and the only core that RUNS at NMU=15 on the
+    v5e; BASELINE.md A/B) must track f64 to ladder accumulation accuracy
+    at a real-deck quadrature order."""
     from archnemesis_tpu.rt import scattering as sc
 
-    nmu = sc.ROWS_NMU_MAX + 1
+    monkeypatch.setattr(sc, "ROWS_NMU_MAX", 0)  # force AoS for f32
+    nmu = 10
     rng = np.random.default_rng(0)
     nf, nwave, ng, nlay = 2, 4, 2, 6
     mu, wt = np.polynomial.legendre.leggauss(2 * nmu)

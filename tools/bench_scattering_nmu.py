@@ -10,12 +10,13 @@ the real chip, which sets rt.scattering.ROWS_NMU_MAX.
 
 Usage: python tools/bench_scattering_nmu.py [NMU] [NWAVE]
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(nmu: int, nwave: int, which: str, wave_tile: int = 128):
@@ -27,6 +28,8 @@ def run(nmu: int, nwave: int, which: str, wave_tile: int = 128):
     sc_max = sc.ROWS_NMU_MAX
     sc.ROWS_NMU_MAX = 99 if which == "rows" else 0
     try:
+        # scenario mirrors tests/test_scattering.py::
+        # test_f32_aos_body_matches_f64_at_deck_order — keep in sync
         rng = np.random.default_rng(0)
         nf, ng, nlay, npath = 2, 10, 39, 1
         dt = jnp.float32
