@@ -190,7 +190,11 @@ def _simpson_weights(inr: int, delr, open_ended: bool):
     vv[0] = 1.0 / 3.0
     if not open_ended:
         vv[-1] = 1.0 / 3.0
-    return jnp.asarray(vv) * delr
+    # numpy, not jnp: this grid is STATIC. jnp.asarray inside a jit trace
+    # returns a tracer for the embedded constant, which breaks the
+    # float()/np.max series-cap derivations downstream (model 444 under
+    # jit); numpy keeps it host-concrete and jnp ops convert at use.
+    return vv * delr
 
 
 def miescat_grid(
@@ -283,7 +287,8 @@ def radius_grid(rs, cap: int = 2048):
         if inr > 1 and inr % 2 != 0:
             inr += 1
         open_ended = False
-    radii = jnp.asarray(r1 + np.arange(inr) * delr)
+    # host-concrete numpy on purpose — see _simpson_weights
+    radii = r1 + np.arange(inr) * delr
     return radii, _simpson_weights(inr, delr, open_ended), open_ended
 
 

@@ -26,6 +26,13 @@ def test_forward_finite_and_shaped(setup):
     assert np.all(np.isfinite(y0))
     assert np.all(y0 > 0.0)  # solar-reflected radiance
 
+    # under JIT too (r5 regression): jnp-built "static" grids become
+    # tracers inside a jit trace, which broke model 444's host-side Mie
+    # series-cap derivation (float(np.max(radii))) — eager-only coverage
+    # missed it; every production caller jits this function
+    yj = np.asarray(jax.jit(setup.forward_fn)(jnp.asarray(setup.sv.xa)))
+    np.testing.assert_allclose(yj, y0, rtol=5e-7)
+
 
 @pytest.mark.slow
 def test_jacfwd_through_scattering(setup):
